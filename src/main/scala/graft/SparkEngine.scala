@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for tests / CLI entry points.
+  *
+  * The driver (Verify/Bench) builds its own session; library code must
+  * therefore never depend on builder-time conf. Anything semantic
+  * (ANSI-safe casts, null ordering) is handled per-expression in the
+  * operators instead (see [[graft.operators]]).
+  */
+object SparkEngine {
+  /** Pinned conf mirrors SURVEY.md §7 phase A: UTC, no UI, shuffle
+    * partitions sized for local cores rather than the 200 default.
+    */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+
+/** Loader for the harness testdata star schema (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir) else
+      spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy
+    * conf and rebuild a micros timestamp. Integer `DIV` — a double-typed
+    * division would lose precision above 2^53 ns.
+    */
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .select(raw.columns.map(col).toSeq: _*)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.DatasetLoadException
+
+/** Directory-of-files catalog: logical dataset id → physical file by the
+  * convention `{baseDir}/{id}.csv` (reference main.rs:36-39) — extended to
+  * also resolve `{id}.parquet` (the harness testdata format, TESTDATA.md).
+  *
+  * Stateless like the reference (main.rs:43): every `load` call re-reads
+  * from disk; callers that need request-lifetime reuse should `.cache()`
+  * the returned DataFrame themselves.
+  *
+  * Scale note: at 100 TB the "file" is a directory of parquet parts (or a
+  * table root); `spark.read.parquet(dir)` handles that transparently, and
+  * schema inference for CSV happens once on the driver per call. Parquet is
+  * the scale path — CSV exists for reference-convention parity.
+  */
+final class DataLake(spark: SparkSession, baseDir: String) {
+
+  /** `{baseDir}/{id}.csv` — reference main.rs:36-39. */
+  def datasetPath(datasetId: String): Path = Paths.get(baseDir, s"$datasetId.csv")
+
+  def parquetPath(datasetId: String): Path = Paths.get(baseDir, s"$datasetId.parquet")
+
+  /** Existence probe (reference main.rs:55-57). True if either format exists. */
+  def datasetExists(datasetId: String): Boolean =
+    Files.exists(datasetPath(datasetId)) || Files.exists(parquetPath(datasetId))
+
+  /** Eager-equivalent load (reference main.rs:44-52): header row, inferred
+    * schema. Parquet preferred when present (typed, columnar, prunable);
+    * CSV fallback matches the reference convention. Load failure →
+    * [[DatasetLoadException]] (500-equivalent, main.rs:114).
+    */
+  def load(datasetId: String): DataFrame =
+    try {
+      if (Files.exists(parquetPath(datasetId)))
+        spark.read.parquet(parquetPath(datasetId).toString)
+      else
+        spark.read
+          .option("header", "true")
+          .option("inferSchema", "true")
+          .csv(datasetPath(datasetId).toString)
+    } catch {
+      case e: Throwable =>
+        throw DatasetLoadException(s"failed to load dataset '$datasetId': ${e.getMessage}", e)
+    }
+}
