@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora: exact, n-gram Jaccard,
+  * and MinHash+LSH near-dup detection. Pure DataFrame transformations —
+  * every step is a hash-partitionable equi-join or aggregation, so the
+  * same plans scale from local[32] to a 1000-executor cluster.
+  *
+  * Design choices for 100 TB:
+  *  - exact dedup groups on md5(text): the shuffle key is 32 bytes, not
+  *    the document;
+  *  - near-dup detection is LSH-banded: candidate generation is an
+  *    equi-join on band values (sub-quadratic), and only candidates pay
+  *    the exact-Jaccard verification;
+  *  - the Jaccard threshold test is integer arithmetic
+  *    (`common*10 >= t10*(|A|+|B|-common)`) — reproducible everywhere;
+  *  - hashes are md5 so any engine (including the DuckDB oracle) can
+  *    replay them bit-for-bit.
+  */
+object Dedup {
+
+  /** Keep one row per distinct value of `textCol` (min of `idCol` wins),
+    * with the duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Distinct word-3-gram shingles per document: (doc_id, shingle).
+    * Guarded transform — Spark's `sequence(0, n)` DESCENDS for n<0, so
+    * docs under 3 words need the explicit empty branch.
+    */
+  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("shingle", explode(
+        when(size(col("ws")) >= 3,
+          expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))))
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
+
+  /** doc_id → k-hash MinHash signature (mh1..mhk). h_j(s) = md5("j|"++s),
+    * min per doc per j.
+    */
+  def minhashSignature(sh: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1)
+    sh.groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("1|"), col("shingle")))).as("mh1"),
+        (2 to k).map(j => min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j")): _*)
+  }
+
+  /** Exact-Jaccard verification over candidate (a_id, b_id) pairs:
+    * keep iff common/union >= t10/10. Joins are restricted to the
+    * candidate set — this is the "verify" half of LSH dedup.
+    */
+  def jaccardVerify(cand: DataFrame, sh: DataFrame, t10: Int): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sz.as("za"), col("a_id") === col("za.doc_id"))
+      .join(sz.as("zb"), col("b_id") === col("zb.doc_id"))
+      .select(
+        col("a_id"), col("b_id"), col("common"),
+        col("za.n").as("n_a"), col("zb.n").as("n_b"))
+      .filter(col("common") * 10 >= (col("n_a") + col("n_b") - col("common")) * t10)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** All-pairs-sharing-a-shingle near-dup detection (baseline; quadratic
+    * in bucket size — use [[minhashLshPairs]] at scale).
+    */
+  def jaccardPairs(docs: DataFrame, t10: Int): DataFrame = {
+    val sh = shingles(docs)
+    val cand = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    jaccardVerify(cand, sh, t10)
+  }
+
+  /** MinHash+LSH near-dup detection: 4 bands × 2 rows banding over an
+    * 8-hash signature; band-bucket equi-join for candidates; exact
+    * verification at `t10/10` Jaccard.
+    */
+  def minhashLshPairs(docs: DataFrame, t10: Int): DataFrame = {
+    val sh = shingles(docs)
+    val bands = minhashSignature(sh, 8).select(
+      col("doc_id"),
+      posexplode(array(
+        md5(concat(col("mh1"), col("mh2"))),
+        md5(concat(col("mh3"), col("mh4"))),
+        md5(concat(col("mh5"), col("mh6"))),
+        md5(concat(col("mh7"), col("mh8"))))))
+      .toDF("doc_id", "band_idx", "band_val")
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    jaccardVerify(cand, sh, t10)
+  }
+
+  /** 64-bit SimHash over word tokens (xxhash64 token hashes; sign-sum per
+    * bit). Spark-only (no oracle twin — xxhash64 differs across engines);
+    * near-dups are pairs within small Hamming distance.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tokens = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("tok", explode(split(col("text"), " ")))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sums = tokens.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+}

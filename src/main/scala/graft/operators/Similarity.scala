@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.dot
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the correctness baseline, and
+  * coordinate-sign LSH bucketing as the scale path.
+  *
+  * Scale design: brute force is #queries × N — fine when the query set is
+  * bounded (it is a broadcast-able side), never N² over the corpus. The
+  * LSH variant buckets the corpus once (narrow, no shuffle beyond the
+  * bucket groupBy) and only pairs within a bucket, trading recall for a
+  * ~2^bits reduction of the pair space. Both keep the arithmetic in
+  * left-to-right double folds so results are reproducible (and match the
+  * DuckDB oracle bit-for-bit).
+  */
+object Similarity {
+
+  /** vec_id + embedding as array<double> + L2 norm. */
+  def withNorm(embeddings: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(idCol).as("vec_id"),
+        expr(s"transform($embCol, v -> CAST(v AS DOUBLE))").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Brute-force cosine top-k of `corpus` for each row of `queries`
+    * (both pre-normed via [[withNorm]]). Exact; the ANN oracle.
+    */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    topK(
+      queries.as("q")
+        .join(corpus.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .select(
+          col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+          (dot(col("q.emb"), col("c.emb")) / (col("q.nrm") * col("c.nrm"))).as("cos")),
+      k)
+
+  /** Coordinate-sign LSH bucket: one bit per leading dimension's sign. */
+  def signBucket(e: DataFrame, bits: Int = 8): DataFrame = {
+    val bucketBits = (1 to bits).map(i =>
+      when(element_at(col("emb"), i) > 0, lit("1")).otherwise(lit("0")))
+    e.withColumn("bucket", concat(bucketBits: _*))
+  }
+
+  /** ANN top-k restricted to sign-LSH buckets. Recall < 1 by design;
+    * cheap at scale (pair space divided by ~2^bits for centered data).
+    */
+  def annLshKnn(embeddings: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val b = signBucket(embeddings, bits)
+    topK(
+      b.as("q")
+        .join(b.as("c"), col("q.bucket") === col("c.bucket") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+        .select(
+          col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+          (dot(col("q.emb"), col("c.emb")) / (col("q.nrm") * col("c.nrm"))).as("cos")),
+      k)
+  }
+}

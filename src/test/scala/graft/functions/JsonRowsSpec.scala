@@ -1,0 +1,42 @@
+package graft.functions
+
+import java.sql.{Date, Timestamp}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class JsonRowsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("primitives pass through; null → JSON null (main.rs:223-242)") {
+    val df = Seq((1L, 2.5, true, "hi"), (2L, 3.5, false, null))
+      .toDF("n", "d", "b", "s")
+    val json = JsonRows.toJson(df)
+    assert(json ===
+      """[{"n":1,"d":2.5,"b":true,"s":"hi"},{"n":2,"d":3.5,"b":false,"s":null}]""")
+  }
+
+  test("dates stringify like the reference Display fallback (main.rs:244-245)") {
+    val df = Seq((1, Date.valueOf("2024-01-03"))).toDF("id", "day")
+    assert(JsonRows.toJson(df) === """[{"id":1,"day":"2024-01-03"}]""")
+  }
+
+  test("arrays/structs stringify rather than nest (quirk (f))") {
+    val df = Seq((1, Seq(1, 2, 3))).toDF("id", "xs")
+    val json = JsonRows.toJson(df)
+    assert(json.startsWith("""[{"id":1,"xs":""""))
+    assert(!json.contains("[1,2,3]")) // not native JSON array
+  }
+
+  test("string escaping: quotes, backslashes, control chars") {
+    val df = Seq((1, "a\"b\\c\nd\te")).toDF("id", "s")
+    assert(JsonRows.toJson(df) === """[{"id":1,"s":"a\"b\\c\nd\te"}]""")
+  }
+
+  test("NaN/Infinity → null (JSON has no non-finite numbers)") {
+    val df = Seq((1, Double.NaN), (2, Double.PositiveInfinity)).toDF("id", "d")
+    assert(JsonRows.toJson(df) === """[{"id":1,"d":null},{"id":2,"d":null}]""")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.{Dedup, Similarity}
+
+/** Semantics specs for the pipeline operators on crafted documents —
+  * the DuckDB oracle checks engine-parity on the harness tables; these
+  * check the *algorithms* do what they claim (near-dups found, unrelated
+  * docs not, ANN agrees with brute force on easy cases).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // doc 1/2: near-identical (one word changed out of 12); doc 3:
+  // unrelated; doc 4: exact copy of 1.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river"),
+    (2L, "the quick brown fox jumps over the lazy cat near the river"),
+    (3L, "completely different content about spark query engines and scale"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts (docs 1 and 4)") {
+    val copies = Dedup.exact(docs).as[(Long, Long)].collect().toMap
+    assert(copies === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("shingles: n-2 word-3-grams, distinct, empty for short docs") {
+    val sh = Dedup.shingles(docs.filter($"doc_id" === 1))
+      .as[(Long, String)].collect().toSeq
+    assert(sh.length === 10) // 12 words → 10 shingles, all distinct here
+    assert(sh.contains((1L, "the quick brown")))
+    val short = Dedup.shingles(Seq((9L, "two words")).toDF("doc_id", "text"))
+    assert(short.count() === 0)
+  }
+
+  test("ngram jaccard finds the near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(docs, t10 = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // near-dup found
+    assert(pairs.contains((1L, 4L))) // exact dup found
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated excluded
+  }
+
+  test("minhash LSH candidates recover high-jaccard pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, t10 = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical shingle sets always collide
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash signature identical for identical shingle sets") {
+    val sig = Dedup.minhashSignature(Dedup.shingles(docs))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sig(1L) === sig(4L))
+    assert(sig(1L) !== sig(3L))
+  }
+
+  test("simhash: identical docs equal; near-dups closer than unrelated") {
+    val sig = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sig(1L) === sig(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(2L)) < hamming(sig(1L), sig(3L)))
+  }
+
+  test("brute-force knn: nearest neighbor of a duplicated vector is its copy") {
+    val e = Similarity.withNorm(Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding"))
+    val top1 = Similarity.bruteForceKnn(e, e, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1(1L) === 4L) // exact copy wins (cos=1, id tiebreak)
+    assert(top1(4L) === 1L)
+    assert(top1(2L) === 1L) // nearly-parallel vector
+  }
+
+  test("sign-LSH bucket groups same-orthant vectors") {
+    val e = Similarity.withNorm(Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f)),
+      (2L, Array(0.9f, 0.8f, 0.7f)),
+      (3L, Array(-1.0f, -1.0f, -1.0f))
+    ).toDF("vec_id", "embedding"))
+    val buckets = Similarity.signBucket(e, bits = 3)
+      .select("vec_id", "bucket").as[(Long, String)].collect().toMap
+    assert(buckets(1L) === buckets(2L))
+    assert(buckets(1L) !== buckets(3L))
+  }
+}
