@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Correctness dump only: AQE's stage-materialization wait showed a
+      // nondeterministic multi-minute stall on trivial sort+write plans
+      // here (~300s, smells like a missed wakeup); runtime re-planning
+      // buys nothing at dump scale, so pin it off.
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props — TESTDATA.md).
+  *
+  * The reference has no streaming (SURVEY.md §2 declares the category
+  * absent); this is the Spark-native extension: file/rate sources →
+  * watermarked event-time transforms → sinks. Everything is expressed on
+  * an unbounded DataFrame, so the same code runs micro-batch or
+  * continuous, locally or on a cluster — state lives in the state store,
+  * partitioned by the grouping key.
+  */
+object Streams {
+
+  /** The events schema as a streaming source schema (ts already micros —
+    * streaming reads go through [[eventsStream]] which normalizes).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // raw nanos (parquet TIMESTAMP(NANOS))
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream over an events directory; ts normalized to a real
+    * timestamp column like the batch path (Tables.events).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling-window counts/sums per event_type with a watermark: the
+    * canonical streaming aggregation. Late data beyond the watermark is
+    * dropped; state is bounded by (watermark horizon / window) ×
+    * #event_types.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon —
+    * exactly-once-per-id delivery from an at-least-once source.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id", "ts")
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, n: Long, total: Double)
+  final case class UserSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Sessionization with custom state: a session closes after `gapMs` of
+    * user inactivity (processing-time timeout for local determinism-free
+    * demo; event-time gap logic inside the state update). The canonical
+    * `flatMapGroupsWithState` pattern — state is one small record per
+    * active user, emitted and cleared on timeout/gap.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          // Sort the micro-batch slice; emit sessions closed by gaps.
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0, 0.0))
+          val closed = Seq.newBuilder[UserSession]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.n > 0 && t - st.lastSeen > gapMs) {
+              closed += UserSession(userId, new java.sql.Timestamp(st.start),
+                new java.sql.Timestamp(st.lastSeen), st.n, st.total)
+              st = SessionState(t, t, 1, e.value)
+            } else {
+              st = SessionState(math.min(st.start, t), math.max(st.lastSeen, t),
+                st.n + 1, st.total + e.value)
+            }
+          }
+          if (st.n > 0) state.update(st) else state.remove()
+          closed.result().iterator
+      }
+  }
+}
