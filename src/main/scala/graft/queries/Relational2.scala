@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Qs._
+
+/** Second relational batch: outer/cross join family, pivot, union-all,
+  * approximate sketches, exists-style correlated filters.
+  */
+object Relational2 {
+
+  val queries: Map[String, Q] = Map(
+    // Left outer: every customer, orders aggregated where present.
+    "q_left_outer" -> { (s, dir) =>
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(
+          count(o("o_orderkey")).as("n_orders"),
+          dsum(col("o_totalprice"), 14, 2).as("spend"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Full outer with key coalescing: supplier and customer balances per
+    // nation side-by-side (disjoint aggregates stitched by nation key).
+    "q_full_outer" -> { (s, dir) =>
+      val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(dsum(col("s_acctbal"), 12, 2).as("supp_bal"))
+      val cus = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(dsum(col("c_acctbal"), 12, 2).as("cust_bal"))
+      sup.as("s").join(cus.as("c"), col("s.nk") === col("c.nk"), "full_outer")
+        .select(
+          coalesce(col("s.nk"), col("c.nk")).as("nationkey"),
+          col("supp_bal"), col("cust_bal"))
+        .orderBy(col("nationkey"))
+    },
+
+    // Cross join (small × small): region × orderstatus grid with counts
+    // folded in from a grouped orders aggregate via left join.
+    "q_cross_grid" -> { (s, dir) =>
+      val r = t(s, dir, "region").select(col("r_name"))
+      val st = t(s, dir, "orders").select(col("o_orderstatus")).distinct()
+      r.crossJoin(st).orderBy(col("r_name"), col("o_orderstatus"))
+    },
+
+    // Pivot: order counts and exact revenue per priority × status.
+    "q_pivot" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // UNION ALL of two differently-filtered projections (bag semantics,
+    // unlike q_setops' set semantics).
+    "q_union_all" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F")
+        .select(lit("fulfilled").as("tag"), col("o_orderkey"))
+        .unionAll(
+          o.filter(col("o_totalprice") > 200000)
+            .select(lit("big").as("tag"), col("o_orderkey")))
+        .orderBy(col("tag"), col("o_orderkey"))
+    },
+
+    // Approximate sketches: HLL distinct + approx quantiles. No SQL
+    // oracle (algorithms differ per engine → driver rows-only check);
+    // RelationalSpec bounds the error vs exact locally.
+    "q_approx_sketches" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Correlated EXISTS as a row filter (not just counts): orders from
+    // customers in a named market segment.
+    "q_exists_filter" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 14, 2).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_full_outer" ->
+      """WITH s AS (SELECT s_nationkey AS nk,
+        |    CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS supp_bal
+        |  FROM supplier GROUP BY s_nationkey),
+        |c AS (SELECT c_nationkey AS nk,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS cust_bal
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT COALESCE(s.nk, c.nk) AS nationkey, supp_bal, cust_bal
+        |FROM s FULL OUTER JOIN c ON s.nk = c.nk
+        |ORDER BY nationkey""".stripMargin,
+    "q_cross_grid" ->
+      """SELECT r_name, o_orderstatus
+        |FROM (SELECT r_name FROM region) r
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_union_all" ->
+      """SELECT 'fulfilled' AS tag, o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'big' AS tag, o_orderkey FROM orders WHERE o_totalprice > 200000
+        |ORDER BY tag, o_orderkey""".stripMargin,
+    "q_exists_filter" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE EXISTS (SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+}

@@ -1,0 +1,96 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Endpoint-parity tests: full request→response through the HTTP surface,
+  * asserting bodies and the reference's status-code mapping.
+  */
+class HttpShellSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val client = HttpClient.newHttpClient()
+
+  private lazy val (shell, port) = {
+    val dir = Files.createTempDirectory("lake").toString
+    Files.writeString(Paths.get(dir, "trains.csv"),
+      """train_id,departure_delay,arrival_delay,distance_km
+        |ICE 1,5,10,120.5
+        |ICE 2,,3,80.0
+        |ICE 3,-2,,300.0
+        |""".stripMargin)
+    Files.writeString(Paths.get(dir, "plz.csv"),
+      "plz,einwohner,qkm\n01067,11957,6.1\n01069,25491,8.5\n01097,14821,5.2\n")
+    Files.writeString(Paths.get(dir, "nodelay.csv"), "a,b\n1,2\n")
+    val s = new HttpShell(spark, dir, port = 0) // ephemeral port
+    (s, s.start())
+  }
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/json").build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET / serves the console") {
+    val r = get("/")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("graft"))
+  }
+
+  test("preview returns JSON rows with default limit semantics") {
+    val r = get("/data/trains/preview?limit=2")
+    assert(r.statusCode() === 200)
+    assert(r.body().startsWith("""[{"train_id":"ICE 1""""))
+    assert(r.body().split("\\},\\{").length === 2)
+  }
+
+  test("delays sorts all *delay* columns desc with nulls first") {
+    val r = get("/data/trains/delays?sorting=Desc")
+    assert(r.statusCode() === 200)
+    // null departure_delay first (ICE 2), then 5 (ICE 1), then -2 (ICE 3)
+    val order = """"train_id":"([^"]+)"""".r
+      .findAllMatchIn(r.body()).map(_.group(1)).toSeq
+    assert(order === Seq("ICE 2", "ICE 1", "ICE 3"))
+  }
+
+  test("delays on dataset without delay columns → 400 (main.rs:271-274)") {
+    val r = get("/data/nodelay/delays")
+    assert(r.statusCode() === 400)
+    assert(r.body().contains("error"))
+  }
+
+  test("unknown dataset → 500 (load failure, main.rs:114)") {
+    assert(get("/data/ghost/preview").statusCode() === 500)
+  }
+
+  test("regression returns slope/intercept/r2") {
+    val r = post("/data/plz/regression", """{"x_col":"qkm","y_col":"einwohner"}""")
+    assert(r.statusCode() === 200)
+    assert(r.body().matches("""\{"slope":.*,"intercept":.*,"r2":.*\}"""))
+  }
+
+  test("regression with missing column → 400") {
+    val r = post("/data/plz/regression", """{"x_col":"nope","y_col":"einwohner"}""")
+    assert(r.statusCode() === 400)
+  }
+
+  test("regression with malformed body → 400") {
+    assert(post("/data/plz/regression", """{"bogus":1}""").statusCode() === 400)
+  }
+
+  test("bad limit → 400; bad sorting → 400") {
+    assert(get("/data/trains/preview?limit=abc").statusCode() === 400)
+    assert(get("/data/trains/delays?sorting=Sideways").statusCode() === 400)
+  }
+}
