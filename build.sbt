@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen loads one Janino class per stage; across a
+  // 42-query catalog the default 240m code cache fills, the JIT stops
+  // compiling, and late queries run interpreted (observed 10-50×
+  // slowdowns contained to long-lived sessions). Spark's own build
+  // reserves 1g for the same reason.
+  "-XX:ReservedCodeCacheSize=1g",
 )

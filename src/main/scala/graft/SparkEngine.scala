@@ -21,6 +21,12 @@ object SparkEngine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ICU case mapping routes upper/lower through
+      // CollationAwareUTF8String, whose static init title-cases every
+      // Unicode code point; when the JIT is busy with codegen output it
+      // runs interpreted for minutes (observed 490s on a 200-row query).
+      // JVM case mapping is identical for ASCII corpora and never stalls.
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

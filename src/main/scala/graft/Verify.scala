@@ -20,6 +20,8 @@ object Verify {
       // here (~300s, smells like a missed wakeup); runtime re-planning
       // buys nothing at dump scale, so pin it off.
       .config("spark.sql.adaptive.enabled", "false")
+      // See SparkEngine: ICU case-mapping static init can stall minutes.
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

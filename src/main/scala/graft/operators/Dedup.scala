@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashFunctions.{md5fast => md5f}
+
 /** Deduplication operators for document corpora: exact, n-gram Jaccard,
   * and MinHash+LSH near-dup detection. Pure DataFrame transformations —
   * every step is a hash-partitionable equi-join or aggregation, so the
@@ -25,7 +27,7 @@ object Dedup {
     * with the duplicate count.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("h"))
+    docs.groupBy(md5f(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
@@ -50,8 +52,8 @@ object Dedup {
     require(k >= 1)
     sh.groupBy(col("doc_id"))
       .agg(
-        min(md5(concat(lit("1|"), col("shingle")))).as("mh1"),
-        (2 to k).map(j => min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j")): _*)
+        min(md5f(concat(lit("1|"), col("shingle")))).as("mh1"),
+        (2 to k).map(j => min(md5f(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j")): _*)
   }
 
   /** Exact-Jaccard verification over candidate (a_id, b_id) pairs:
@@ -78,15 +80,30 @@ object Dedup {
 
   /** All-pairs-sharing-a-shingle near-dup detection (baseline; quadratic
     * in bucket size — use [[minhashLshPairs]] at scale).
+    *
+    * `common` is aggregated straight off the shingle self-join — one
+    * shuffle keyed on (a_id, b_id) with map-side partial counts — rather
+    * than materializing distinct candidate pairs and re-joining them to
+    * the shingle table (which multiplies every pair by its shingle count
+    * before the match filter; ~45× more intermediate rows on the sf0.1
+    * corpus).
     */
   def jaccardPairs(docs: DataFrame, t10: Int): DataFrame = {
     val sh = shingles(docs)
-    val cand = sh.as("a")
+    val common = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    jaccardVerify(cand, sh, t10)
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    common
+      .join(sz.as("za"), col("a_id") === col("za.doc_id"))
+      .join(sz.as("zb"), col("b_id") === col("zb.doc_id"))
+      .select(
+        col("a_id"), col("b_id"), col("common"),
+        col("za.n").as("n_a"), col("zb.n").as("n_b"))
+      .filter(col("common") * 10 >= (col("n_a") + col("n_b") - col("common")) * t10)
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** MinHash+LSH near-dup detection: 4 bands × 2 rows banding over an
@@ -98,10 +115,10 @@ object Dedup {
     val bands = minhashSignature(sh, 8).select(
       col("doc_id"),
       posexplode(array(
-        md5(concat(col("mh1"), col("mh2"))),
-        md5(concat(col("mh3"), col("mh4"))),
-        md5(concat(col("mh5"), col("mh6"))),
-        md5(concat(col("mh7"), col("mh8"))))))
+        md5f(concat(col("mh1"), col("mh2"))),
+        md5f(concat(col("mh3"), col("mh4"))),
+        md5f(concat(col("mh5"), col("mh6"))),
+        md5f(concat(col("mh7"), col("mh8"))))))
       .toDF("doc_id", "band_idx", "band_val")
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") &&

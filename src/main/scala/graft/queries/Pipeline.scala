@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashFunctions.{md5fast => md5f}
 import graft.operators.{Dedup, Similarity}
 import Qs._
 
@@ -125,14 +126,14 @@ object Pipeline {
     // Document fingerprints: full-text md5, min-shingle sketch, prefix.
     "q_text_fingerprint" -> { (s, dir) =>
       val sh = Dedup.shingles(t(s, dir, "documents"))
-        .groupBy(col("doc_id")).agg(min(md5(col("shingle"))).as("min_shingle_fp"))
+        .groupBy(col("doc_id")).agg(min(md5f(col("shingle"))).as("min_shingle_fp"))
       t(s, dir, "documents")
         .join(sh, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
-          md5(col("text")).as("full_fp"),
+          md5f(col("text")).as("full_fp"),
           col("min_shingle_fp"),
-          md5(substring(col("text"), 1, 64)).as("prefix_fp"))
+          md5f(substring(col("text"), 1, 64)).as("prefix_fp"))
         .orderBy(col("doc_id"))
     })
 
