@@ -54,6 +54,25 @@ object Similarity {
     e.withColumn("bucket", concat(bucketBits: _*))
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates from sign-LSH
+    * buckets, kept when exact cosine ≥ threshold. The dedup-by-embedding
+    * counterpart of [[Dedup.minhashLshPairs]] — candidate generation is a
+    * bucket equi-join (pair space / ~2^bits), and only candidates pay the
+    * exact dot product.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+      bits: Int = 8): DataFrame = {
+    val b = signBucket(embeddings, bits)
+    b.as("a")
+      .join(b.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        (dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** ANN top-k restricted to sign-LSH buckets. Recall < 1 by design;
     * cheap at scale (pair space divided by ~2^bits for centered data).
     */

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsofJoin, Multimodal, Similarity}
+import Qs._
+
+/** Third batch: temporal as-of join, event-time windowing in batch mode,
+  * the full analytic window-function family, embedding-cosine near-dup
+  * dedup, and oracle-checked multimodal metadata extraction.
+  */
+object Extensions {
+
+  val queries: Map[String, Q] = Map(
+    // As-of join: each purchase event picks up the latest preceding click
+    // (same user, click.ts <= purchase.ts). One shuffle on user_id —
+    // see operators/AsofJoin for the union+window sweep.
+    "q_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsofJoin.leftAsof(purchases, clicks, "user_id", "ts", "ts",
+          rightCols = Seq("event_id", "value"), tieBreak = "event_id")
+        .select(
+          col("event_id"), col("user_id"), tsS(col("ts")).as("ts_s"),
+          col("asof_event_id").as("click_id"), col("asof_value").as("click_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // Tumbling event-time window aggregation in batch (same semantics a
+    // Structured Streaming job would produce after watermark close).
+    "q_events_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 14, 2).as("sum_value"))
+        .select(
+          tsS(col("w.start")).as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // Full analytic window family over the orders timeline per customer.
+    "q_window_funcs" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          dense_rank().over(w).cast("long").as("drank"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // Embedding-cosine near-dup pairs (the dedup-family member over
+    // vectors): sign-LSH candidates, exact-cosine >= 0.3 verify.
+    "q_dedup_embed" -> { (s, dir) =>
+      Similarity.cosineNearDupPairs(
+        Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3, bits = 4)
+    },
+
+    // Multimodal metadata decode over binary payloads (stub decoder —
+    // deterministic from the bytes, so the oracle can replay it; the
+    // mapPartitions batch shape is the real plumbing under test).
+    "q_multimodal_meta" -> { (s, dir) =>
+      val withPayload = Multimodal.attachPayload(t(s, dir, "documents"))
+      Multimodal.decodeMeta(withPayload)
+        .select(
+          col("doc_id"),
+          col("image_meta.width").cast("long").as("w"),
+          col("image_meta.height").cast("long").as("h"),
+          col("image_meta.format").as("fmt"),
+          col("image_meta.n_bytes").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      s"""SELECT p.event_id, p.user_id, ${tsSqlS("p.ts")} AS ts_s,
+        |  c.event_id AS click_id, c.value AS click_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_events_window" ->
+      s"""SELECT ${tsSqlS("time_bucket(INTERVAL 1 HOUR, ts)")} AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS prank,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, emb, nrm,
+        |  (CASE WHEN emb[1] > 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN emb[2] > 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN emb[3] > 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN emb[4] > 0 THEN '1' ELSE '0' END) AS bucket FROM e)
+        |SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+        |  list_inner_product(a.emb, c.emb) / (a.nrm * c.nrm) AS cos
+        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |WHERE list_inner_product(a.emb, c.emb) / (a.nrm * c.nrm) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // Stub decoder replay: payload = utf8(text) (ASCII corpus, so byte i
+    // == codepoint of char i); w/h from the first two bytes, format from
+    // byte-length parity — mirrors Multimodal.StubDecoder exactly.
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(16 + CASE WHEN LENGTH(text) >= 1
+        |    THEN ascii(SUBSTR(text, 1, 1)) % 128 ELSE 0 END AS BIGINT) AS w,
+        |  CAST(16 + CASE WHEN LENGTH(text) >= 2
+        |    THEN ascii(SUBSTR(text, 2, 1)) % 128 ELSE 0 END AS BIGINT) AS h,
+        |  CASE WHEN STRLEN(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |  CAST(STRLEN(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
