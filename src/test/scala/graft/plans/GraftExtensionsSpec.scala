@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // Extensions bind at session construction, so the shared TestSpark
+  // session can't be reused: clear the active/default session, build a
+  // fresh one (sharing the same SparkContext) with the extensions, and
+  // restore the shared session afterwards in each test.
+  private def withExtSession[A](f: SparkSession => A): A = {
+    val shared = graft.TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions().apply).getOrCreate()
+      f(s)
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
+  test("FastHashRule rewrites built-in md5 to graft_md5 in the optimized plan") {
+    withExtSession { spark =>
+      // Non-foldable input (range), else constant folding erases the call.
+      val df = spark.range(2).selectExpr("md5(CAST(id AS STRING)) AS h")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_md5"), optimized)
+      // identical output to the built-in (commons-codec) digest
+      assert(df.collect().map(_.getString(0)).sorted ===
+        Array("c4ca4238a0b923820dcc509a6f75849b", "cfcd208495d565ef66e7dff9f98764da"))
+    }
+  }
+
+  test("graft_md5 and graft_dot callable from SQL") {
+    withExtSession { spark =>
+      val h = spark.sql("SELECT graft_md5('abc') AS h").head().getString(0)
+      assert(h === "900150983cd24fb0d6963f7d28e17f72")
+      val d = spark.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+      assert(d === 11.0)
+    }
+  }
+}
