@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Physical-plan assertions for the headline queries — the properties
+  * that decide whether these plans survive a 100 TB scale-up. A green
+  * correctness run with a bad plan (full-schema scans, shuffled dims,
+  * interpreted hot loops) is a silent regression; these tests fail it.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_agg: column pruning reaches the lineitem scan") {
+    val p = plan("q1_agg")
+    // lineitem has 16 columns; the scan must read only the 5 used ones.
+    val readSchema = "ReadSchema: struct<" +
+      "l_quantity:double,l_extendedprice:double,l_discount:double," +
+      "l_returnflag:string,l_linestatus:string"
+    assert(p.contains("l_quantity"), p)
+    assert(!p.contains("l_shipdate"), "unused column not pruned from scan")
+    assert(p.replaceAll("\\s", "").contains(
+      readSchema.replaceAll("\\s", "").take(40)), p)
+  }
+
+  test("q1_agg: filter is pushed down to the parquet reader") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,45.0)]"), p)
+  }
+
+  test("q1_agg: aggregation is partial+final (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.split("HashAggregate").length >= 3, // partial + final
+      "expected two-phase hash aggregation\n" + p)
+  }
+
+  test("q_join_nation_rev: dimension joins broadcast, no dim shuffle") {
+    val p = plan("q_join_nation_rev")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_sort_limit: sort+limit fuses to TakeOrderedAndProject (top-k)") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("headline aggregation runs inside WholeStageCodegen") {
+    // AQE finalizes the physical plan lazily — execute, then inspect.
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the plan string.
+    assert(p.contains("*(") && p.contains("HashAggregate"), p)
+  }
+
+  test("q_embed_knn: custom dot-product expression stays codegen'd, top-k is partial+final") {
+    val df = SparkEntry.queries("q_embed_knn")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p)
+    assert(p.contains("graft_dot"), p)
+    // Spark 4 plans the per-group row_number()<=k as WindowGroupLimit
+    // Partial+Final: each partition keeps k rows before the shuffle.
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+}

@@ -31,6 +31,20 @@ class SinksSpec extends AnyFunSuite {
   test("parquet round-trip")(roundtrip("parquet"))
   test("csv round-trip with quoting")(roundtrip("csv"))
   test("json lines round-trip")(roundtrip("json"))
+  test("orc round-trip")(roundtrip("orc"))
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("sink_part").toString + "/out"
+    val part = (1 to 100).map(i => (i.toLong, s"g${i % 5}", i * 1.5))
+      .toDF("id", "grp", "v")
+    part.write.partitionBy("grp").parquet(dir)
+    val back = spark.read.parquet(dir).filter($"grp" === "g3")
+    assert(back.count() === 20)
+    // The filter must become a PartitionFilter (pruned at planning — at
+    // scale this is the difference between reading 1/5th and all of it).
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(grp"), scan)
+  }
 
   test("json egress via to_json matches schema") {
     import org.apache.spark.sql.functions._
