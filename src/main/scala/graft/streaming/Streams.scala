@@ -61,6 +61,35 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id", "ts")
 
+  /** Stream-static enrichment join: every micro-batch joins against the
+    * (small) static dimension — Spark broadcasts it per batch, so the
+    * stream never shuffles. The streaming face of the broadcast-dim rule
+    * used across the batch catalog.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), key)
+
+  /** Stream-stream join: purchases matched to clicks of the same user
+    * within `horizon` BEFORE the purchase. Both sides watermarked, and the
+    * time-range predicate bounds the join state store (Spark drops
+    * buffered rows older than the watermark − horizon).
+    */
+  def purchaseAttribution(events: DataFrame, watermark: String = "10 minutes",
+      horizon: String = "30 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, n: Long, total: Double)
   final case class UserSession(

@@ -69,4 +69,65 @@ class StreamsSpec extends AnyFunSuite {
       assert(sessions === Set((1L, 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("late data beyond the watermark is dropped from windowed aggregation") {
+    val dir = Files.createTempDirectory("events3").toString
+    def write(batch: Seq[(Long, Long, Long, String, Double, String)], part: String): Unit =
+      batch.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(s"$dir/$part")
+    // Batch 1 advances event time to t=1h; watermark = 1h - 10min.
+    write(Seq(
+      (1L, 60_000_000_000L, 10L, "click", 1.0, "{}"),       // t = 60s
+      (2L, 3_600_000_000_000L, 10L, "click", 1.0, "{}")), "p1") // t = 1h
+    val q = Streams.windowedCounts(
+        Streams.eventsStream(spark, s"$dir/*"), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // Batch 2: an event for the long-closed t=60s window → dropped.
+      write(Seq((3L, 65_000_000_000L, 10L, "click", 100.0, "{}")), "p2")
+      q.processAllAvailable()
+      val firstWindow = spark.table("late")
+        .filter($"w_start" === ts(0)).select("n", "total_value")
+        .as[(Long, Double)].collect().toSeq
+      assert(firstWindow === Seq((1L, 1.0))) // late event 3 not counted
+    } finally q.stop()
+  }
+
+  test("stream-static join broadcasts the dimension") {
+    val dir = Files.createTempDirectory("events4").toString
+    Seq((1L, 60_000_000_000L, 10L, "click", 1.0, "{}"),
+      (2L, 61_000_000_000L, 11L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val users = Seq((10L, "alice"), (11L, "bob")).toDF("user_id", "name")
+    val q = Streams.enrichStream(Streams.eventsStream(spark, dir), users, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val names = spark.table("enriched").select("name").as[String].collect().toSet
+      assert(names === Set("alice", "bob"))
+    } finally q.stop()
+  }
+
+  test("stream-stream join attributes purchases to recent clicks only") {
+    val dir = Files.createTempDirectory("events5").toString
+    Seq(
+      (1L, 60_000_000_000L, 10L, "click", 0.0, "{}"),     // t=60s
+      (2L, 120_000_000_000L, 10L, "purchase", 9.0, "{}"), // t=120s ← click 1 in horizon
+      (3L, 100_000_000_000L, 11L, "purchase", 5.0, "{}"), // no click for user 11
+      (4L, 7_200_000_000_000L, 12L, "click", 0.0, "{}"),  // t=2h
+      (5L, 7_210_000_000_000L, 12L, "purchase", 7.0, "{}")// click 4 in horizon
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val q = Streams.purchaseAttribution(
+        Streams.eventsStream(spark, dir), "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.table("attr").select("p_id", "c_id")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs === Set((2L, 1L), (5L, 4L)))
+    } finally q.stop()
+  }
 }
