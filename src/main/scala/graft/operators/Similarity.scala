@@ -73,6 +73,41 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** IVF cell assignment: nearest (by cosine) of `k` seed centroids.
+    * Seeds are the `k` lowest vec_ids — deterministic, so the DuckDB
+    * oracle can replay the exact partition (real IVF would k-means the
+    * seeds; the assignment/probe machinery is identical). The centroid
+    * side broadcasts (k rows), so assignment is a narrow N×k pass.
+    */
+  def ivfAssign(embeddings: DataFrame, k: Int): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < k).select(
+      col("vec_id").as("c_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    embeddings.join(broadcast(cents))
+      .withColumn("c_cos",
+        dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("c_id").as("cell"))
+  }
+
+  /** IVF-flat ANN top-k: search only within the query's cell (nprobe=1).
+    * Pair space shrinks from N² to Σ|cell|² — the coarse-quantizer
+    * analogue of [[annLshKnn]]'s hyperplane buckets.
+    */
+  def ivfKnn(embeddings: DataFrame, nCells: Int, k: Int): DataFrame = {
+    val a = ivfAssign(embeddings, nCells)
+    topK(
+      a.as("q")
+        .join(a.as("c"), col("q.cell") === col("c.cell") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+        .select(
+          col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+          (dot(col("q.emb"), col("c.emb")) / (col("q.nrm") * col("c.nrm"))).as("cos")),
+      k)
+  }
+
   /** ANN top-k restricted to sign-LSH buckets. Recall < 1 by design;
     * cheap at scale (pair space divided by ~2^bits for centered data).
     */

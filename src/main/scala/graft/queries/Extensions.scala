@@ -66,6 +66,13 @@ object Extensions {
         Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3, bits = 4)
     },
 
+    // IVF-flat ANN: 16 seeded centroid cells, top-3 within own cell
+    // (nprobe=1). The coarse-quantizer counterpart of q_embed_ann_lsh.
+    "q_embed_ivf" -> { (s, dir) =>
+      Similarity.ivfKnn(Similarity.withNorm(t(s, dir, "embeddings")),
+        nCells = 16, k = 3)
+    },
+
     // Multimodal metadata decode over binary payloads (stub decoder —
     // deterministic from the bytes, so the oracle can replay it; the
     // mapPartitions batch shape is the real plumbing under test).
@@ -122,6 +129,28 @@ object Extensions {
         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         |WHERE list_inner_product(a.emb, c.emb) / (a.nrm * c.nrm) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_embed_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm
+        |  FROM e WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, emb, nrm, c_id AS cell FROM (
+        |  SELECT v.vec_id, v.emb, v.nrm, c.c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_inner_product(v.emb, c.c_emb) / (v.nrm * c.c_nrm) DESC,
+        |      c.c_id) AS rk
+        |  FROM e v CROSS JOIN cents c) x WHERE rk = 1),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
+        |  FROM asg q JOIN asg c ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cos, rk FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+        |  FROM p) ranked
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // Stub decoder replay: payload = utf8(text) (ASCII corpus, so byte i
     // == codepoint of char i); w/h from the first two bytes, format from
     // byte-length parity — mirrors Multimodal.StubDecoder exactly.
