@@ -24,6 +24,7 @@ import graft.functions.{DotProduct, Md5Fast}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FastHashRule)
+    ext.injectPlannerStrategy(_ => AsofStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_md5"),
       new ExpressionInfo(classOf[Md5Fast].getName, "graft_md5"),
