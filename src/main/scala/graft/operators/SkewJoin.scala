@@ -21,12 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Inner equi-join of `fact` (big, skewed) with `dim` (small enough to
-    * replicate ×salts) on `key`.
+  /** Inner equi-join of `fact` (big, skewed, key `factKey`) with `dim`
+    * (small enough to replicate ×salts, key `dimKey`).
     */
-  def saltedInner(fact: DataFrame, dim: DataFrame, key: String,
-      salts: Int): DataFrame = {
+  def saltedInner(fact: DataFrame, dim: DataFrame, factKey: String,
+      salts: Int, dimKey: String = null): DataFrame = {
     require(salts >= 1)
+    val dk = Option(dimKey).getOrElse(factKey)
     // Deterministic per-row spread: hash of the whole fact row modulo
     // salts. Any spread works (correctness never depends on salt values);
     // hashing the row avoids a second pass and keeps re-runs stable.
@@ -35,8 +36,8 @@ object SkewJoin {
     val saltedDim = dim
       .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(saltedDim,
-        saltedFact(key) === saltedDim(key) &&
+        saltedFact(factKey) === saltedDim(dk) &&
           saltedFact("__salt") === saltedDim("__salt"))
-      .drop(saltedDim(key)).drop(saltedFact("__salt")).drop(saltedDim("__salt"))
+      .drop(saltedDim(dk)).drop(saltedFact("__salt")).drop(saltedDim("__salt"))
   }
 }

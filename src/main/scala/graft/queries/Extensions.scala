@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Multimodal, Similarity}
+import graft.operators.{AsofJoin, Multimodal, RangeJoin, Similarity, SkewJoin}
 import Qs._
 
 /** Third batch: temporal as-of join, event-time windowing in batch mode,
@@ -64,6 +64,36 @@ object Extensions {
     "q_dedup_embed" -> { (s, dir) =>
       Similarity.cosineNearDupPairs(
         Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3, bits = 4)
+    },
+
+    // Salted skew join: identical rows to the plain join (the salt only
+    // respreads partitions), so the oracle is the unsalted SQL join.
+    "q_salted_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      SkewJoin.saltedInner(o, c, "o_custkey", salts = 8, dimKey = "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 14, 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Bucketized range join: purchases landing inside each user's first
+    // 15 minutes of activity. Long micros arithmetic on both engines.
+    "q_range_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val points = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+      val intervals = ev.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("start_us"))
+        .select(col("user_id"), col("start_us"),
+          (col("start_us") + lit(15L * 60 * 1000000)).as("end_us"))
+      RangeJoin.pointInInterval(points, intervals, "p_us", "start_us", "end_us",
+          bucketWidth = 15L * 60 * 1000000)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases_in_window"))
+        .orderBy(col("user_id"))
     },
 
     // IVF-flat ANN: 16 seeded centroid cells, top-3 within own cell
@@ -129,6 +159,20 @@ object Extensions {
         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         |WHERE list_inner_product(a.emb, c.emb) / (a.nrm * c.nrm) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, epoch_us(ts) AS p_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |iv AS (SELECT user_id, MIN(epoch_us(ts)) AS start_us,
+        |    MIN(epoch_us(ts)) + 900000000 AS end_us
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, COUNT(*) AS n_purchases_in_window
+        |FROM p JOIN iv ON start_us <= p_us AND p_us < end_us
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_embed_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
