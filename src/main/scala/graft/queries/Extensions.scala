@@ -66,6 +66,24 @@ object Extensions {
         Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3, bits = 4)
     },
 
+    // Nested types + higher-order functions: collect_list (sorted — bare
+    // collect_list order is partitioning-dependent), lambda transform /
+    // filter / aggregate, array predicates.
+    "q_collections" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+        .select(
+          col("o_custkey"),
+          col("order_keys"),
+          size(col("order_keys")).cast("long").as("n_orders"),
+          expr("transform(order_keys, k -> k * 2)").as("doubled"),
+          expr("filter(order_keys, k -> k % 2 = 0)").as("even_keys"),
+          expr("aggregate(order_keys, 0L, (acc, k) -> acc + k)").as("key_sum"),
+          array_contains(col("order_keys"), 7L).as("has_7"))
+        .orderBy(col("o_custkey"))
+    },
+
     // Salted skew join: identical rows to the plain join (the salt only
     // respreads partitions), so the oracle is the unsalted SQL join.
     "q_salted_join" -> { (s, dir) =>
@@ -159,6 +177,15 @@ object Extensions {
         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         |WHERE list_inner_product(a.emb, c.emb) / (a.nrm * c.nrm) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_collections" ->
+      """SELECT o_custkey,
+        |  LIST_SORT(LIST(o_orderkey)) AS order_keys,
+        |  CAST(LEN(LIST(o_orderkey)) AS BIGINT) AS n_orders,
+        |  LIST_TRANSFORM(LIST_SORT(LIST(o_orderkey)), k -> k * 2) AS doubled,
+        |  LIST_FILTER(LIST_SORT(LIST(o_orderkey)), k -> k % 2 = 0) AS even_keys,
+        |  CAST(LIST_AGGREGATE(LIST(o_orderkey), 'sum') AS BIGINT) AS key_sum,
+        |  LIST_CONTAINS(LIST(o_orderkey), 7) AS has_7
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
