@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashFunctions.{md5fast => md5f}
 import graft.operators.{AsofJoin, Multimodal, RangeJoin, Similarity, SkewJoin}
 import Qs._
 
@@ -64,6 +65,36 @@ object Extensions {
     "q_dedup_embed" -> { (s, dir) =>
       Similarity.cosineNearDupPairs(
         Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3, bits = 4)
+    },
+
+    // Forward-fill (LOCF): carry each user's last purchase value across
+    // subsequent events — the gap-filling primitive of time-series
+    // pipelines, as one window pass (no self-join).
+    "q_ffill" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("purchase_value",
+          when(col("event_type") === "purchase", col("value")))
+        .select(
+          col("event_id"), col("user_id"), tsS(col("ts")).as("ts_s"),
+          last(col("purchase_value"), ignoreNulls = true).over(w)
+            .as("last_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // Deterministic hash sampling: ~10% of documents via an md5-derived
+    // bucket — reproducible on any engine/partitioning, unlike rand().
+    "q_sample_hash" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("bucket",
+          conv(substring(md5f(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 10)
+        .filter(col("bucket") === 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
     },
 
     // Nested types + higher-order functions: collect_list (sorted — bare
@@ -177,6 +208,18 @@ object Extensions {
         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         |WHERE list_inner_product(a.emb, c.emb) / (a.nrm * c.nrm) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_ffill" ->
+      s"""SELECT event_id, user_id, ${tsSqlS("ts")} AS ts_s,
+        |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT lang, COUNT(*) AS n_sampled
+        |FROM documents
+        |WHERE ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_collections" ->
       """SELECT o_custkey,
         |  LIST_SORT(LIST(o_orderkey)) AS order_keys,
