@@ -129,19 +129,22 @@ object Dedup {
     jaccardVerify(cand, sh, t10)
   }
 
-  /** 64-bit SimHash over word tokens (xxhash64 token hashes; sign-sum per
-    * bit). Spark-only (no oracle twin — xxhash64 differs across engines);
-    * near-dups are pairs within small Hamming distance.
+  /** 60-bit SimHash over word tokens (sign-sum per bit). Token hashes are
+    * the first 15 hex digits of md5 — 60 bits, chosen over xxhash64 so any
+    * engine (including the DuckDB oracle) replays the signature
+    * bit-for-bit; SimHash quality only needs a uniform hash, not a
+    * specific one.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bits = 60
     val tokens = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("tok", explode(split(col("text"), " ")))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitCols = (0 until 64).map { b =>
+      .withColumn("h", conv(substring(md5f(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitCols = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     val sums = tokens.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 64).map(b =>
+    val sig = (0 until bits).map(b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     sums.select(col("doc_id"), sig.as("simhash"))

@@ -54,9 +54,8 @@ object Pipeline {
       Dedup.minhashLshPairs(t(s, dir, "documents"), t10 = 8)
     },
 
-    // 64-bit SimHash signatures (Spark-only: xxhash64 has no DuckDB twin,
-    // so the driver records a rows-only check; PipelineSpec covers the
-    // semantics).
+    // 60-bit SimHash signatures (md5-derived token hashes — replayable in
+    // the DuckDB oracle, unlike xxhash64).
     "q_dedup_simhash" -> { (s, dir) =>
       Dedup.simhash(t(s, dir, "documents")).orderBy(col("doc_id"))
     },
@@ -167,6 +166,19 @@ object Pipeline {
       |  FROM embeddings)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id,
+        |    ('0x' || SUBSTR(MD5(t.tok), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        |    FROM documents) t),
+        |bitsum AS (SELECT doc_id, b.b,
+        |    SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tok CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 59)) AS b) b
+        |  GROUP BY doc_id, b.b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+        |    AS simhash
+        |FROM bitsum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY MD5(text) ORDER BY keep_id""".stripMargin,
