@@ -67,6 +67,43 @@ object Extensions {
         Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3, bits = 4)
     },
 
+    // Batch sessionization: 30-min-gap sessions per user via windows
+    // (lag → gap flag → running session index), the batch twin of
+    // Streams.sessionize — no state store, two window passes.
+    "q_sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          tsS(min(col("ts"))).as("session_start"),
+          tsS(max(col("ts"))).as("session_end"),
+          dsum(col("value"), 14, 2).as("total_value"))
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+
+    // Multimodal frame sampling: every-4th 16-byte window of the payload
+    // as a "frame" (video-column plumbing); frames decoded back to string
+    // for the cross-engine compare.
+    "q_multimodal_frames" -> { (s, dir) =>
+      val withPayload = Multimodal.attachPayload(t(s, dir, "documents"))
+      Multimodal.frameSample(withPayload, everyN = 4, frameBytes = 16)
+        .select(
+          col("doc_id"),
+          size(col("frames")).cast("long").as("n_frames"),
+          expr("CAST(frames[0] AS STRING)").as("first_frame"))
+        .orderBy(col("doc_id"))
+    },
+
     // Forward-fill (LOCF): carry each user's last purchase value across
     // subsequent events — the gap-filling primitive of time-series
     // pipelines, as one window pass (no self-join).
@@ -208,6 +245,25 @@ object Extensions {
         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         |WHERE list_inner_product(a.emb, c.emb) / (a.nrm * c.nrm) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH e AS (SELECT *, LAG(epoch_us(ts), 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM events),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL
+        |    OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS ns FROM e),
+        |g AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  COUNT(*) AS n_events,
+        |  ${tsSqlS("MIN(ts)")} AS session_start,
+        |  ${tsSqlS("MAX(ts)")} AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+        |  CAST((GREATEST(STRLEN(text) - 1, 0) // 64) + 1 AS BIGINT) AS n_frames,
+        |  SUBSTR(text, 1, 16) AS first_frame
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_ffill" ->
       s"""SELECT event_id, user_id, ${tsSqlS("ts")} AS ts_s,
         |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
