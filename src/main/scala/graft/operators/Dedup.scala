@@ -88,14 +88,38 @@ object Dedup {
     * before the match filter; ~45× more intermediate rows on the sf0.1
     * corpus).
     */
-  def jaccardPairs(docs: DataFrame, t10: Int): DataFrame = {
-    val sh = shingles(docs)
+  def jaccardPairs(docs: DataFrame, t10: Int): DataFrame =
+    jaccardPairs(docs, t10, maxShingleDf = 0)
+
+  /** As [[jaccardPairs]], but when `maxShingleDf > 0` shingles appearing
+    * in more than that many documents are EXCLUDED from candidate
+    * generation (they still count toward each doc's shingle total, so
+    * Jaccard denominators are exact). A shingle shared by d docs creates
+    * d·(d-1)/2 join rows — at corpus scale, boilerplate shingles ("terms
+    * of service") are the quadratic hot spot, and documents that are
+    * genuine near-dups still meet through their rarer shingles. The
+    * standard DF-cap trick; a recall/cost knob, so default off for
+    * oracle parity.
+    */
+  def jaccardPairs(docs: DataFrame, t10: Int, maxShingleDf: Int): DataFrame = {
+    val shAll = shingles(docs)
+    val sh =
+      if (maxShingleDf <= 0) shAll
+      else {
+        val hot = shAll.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .select(col("shingle"))
+        shAll.join(hot, Seq("shingle"), "left_anti")
+      }
     val common = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("common"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Totals from the UNCAPPED set: DF-capping may undercount `common`
+    // (conservative) but must never shrink the denominators.
+    val sz = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     common
       .join(sz.as("za"), col("a_id") === col("za.doc_id"))
       .join(sz.as("zb"), col("b_id") === col("zb.doc_id"))
@@ -127,6 +151,48 @@ object Dedup {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     jaccardVerify(cand, sh, t10)
+  }
+
+  /** Resolve near-dup pairs into clusters and pick survivors: connected
+    * components by iterated min-label propagation. Each round joins the
+    * current labels across the edge list and takes the min over a node's
+    * neighborhood (plus itself); converges in O(component diameter)
+    * rounds — near-dup clusters are tiny and dense, so a handful. Returns
+    * (doc_id, keep_id) where keep_id = min doc_id of the component.
+    *
+    * At 100 TB: every round is one equi-join + one aggregation on
+    * (doc_id) — hash-partitioned, AQE-skew-splittable; no driver-side
+    * graph. `maxIter` bounds the cost; label stability is checked so
+    * converged inputs stop early.
+    */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .distinct()
+    val nodes = edges.select(col("a_id").as("doc_id")).distinct()
+    var labels = nodes.withColumn("keep_id", col("doc_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("b_id") === labels("doc_id"))
+        .groupBy(edges("a_id").as("doc_id"))
+        .agg(min(col("keep_id")).as("n_min"))
+      val next = labels.as("l")
+        .join(neighborMin.as("m"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("keep_id"), coalesce(col("n_min"), col("keep_id"))).as("keep_id"))
+      // Truncate lineage: without this every round's action re-derives
+      // all previous rounds (quadratic recompute in iteration count).
+      val materialized = next.localCheckpoint()
+      // Convergence check: did any label move this round?
+      val moved = materialized.as("n").join(labels.as("p"), Seq("doc_id"))
+        .filter(col("n.keep_id") =!= col("p.keep_id")).limit(1).count()
+      labels = materialized
+      converged = moved == 0
+      iter += 1
+    }
+    labels
   }
 
   /** 60-bit SimHash over word tokens (sign-sum per bit). Token hashes are

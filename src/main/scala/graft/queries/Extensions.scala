@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions.{md5fast => md5f}
-import graft.operators.{AsofJoin, Multimodal, RangeJoin, Similarity, SkewJoin}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, SkewJoin}
 import Qs._
 
 /** Third batch: temporal as-of join, event-time windowing in batch mode,
@@ -65,6 +65,14 @@ object Extensions {
     "q_dedup_embed" -> { (s, dir) =>
       Similarity.cosineNearDupPairs(
         Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3, bits = 4)
+    },
+
+    // End-to-end dedup: LSH near-dup pairs resolved to clusters
+    // (connected components via iterated min-label propagation) — the
+    // survivor-selection step that turns pair detection into dedup.
+    "q_dedup_clusters" -> { (s, dir) =>
+      Dedup.resolveClusters(Dedup.minhashLshPairs(t(s, dir, "documents"), t10 = 8))
+        .orderBy(col("doc_id"))
     },
 
     // Batch sessionization: 30-min-gap sessions per user via windows
@@ -245,6 +253,34 @@ object Extensions {
         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         |WHERE list_inner_product(a.emb, c.emb) / (a.nrm * c.nrm) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE
+        |${Pipeline.shinglesSql},
+        |${Pipeline.minhashSigSql},
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, MD5(mh1 || mh2) AS band_val FROM sig UNION ALL
+        |  SELECT doc_id, 1, MD5(mh3 || mh4) FROM sig UNION ALL
+        |  SELECT doc_id, 2, MD5(mh5 || mh6) FROM sig UNION ALL
+        |  SELECT doc_id, 3, MD5(mh7 || mh8) FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx
+        |  AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |co AS (SELECT a_id, b_id, COUNT(*) AS common
+        |  FROM cand JOIN sh sa ON a_id = sa.doc_id
+        |  JOIN sh sb ON b_id = sb.doc_id AND sa.shingle = sb.shingle
+        |  GROUP BY a_id, b_id),
+        |pairs AS (SELECT a_id, b_id
+        |  FROM co JOIN sz za ON a_id = za.doc_id JOIN sz zb ON b_id = zb.doc_id
+        |  WHERE common * 10 >= 8 * (za.n + zb.n - common)),
+        |sym AS (SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a AS src, b AS dst FROM sym
+        |  UNION SELECT a AS src, a AS dst FROM sym
+        |  UNION SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a)
+        |SELECT src AS doc_id, MIN(dst) AS keep_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q_sessionize" ->
       s"""WITH e AS (SELECT *, LAG(epoch_us(ts), 1) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM events),

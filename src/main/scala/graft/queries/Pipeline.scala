@@ -136,12 +136,12 @@ object Pipeline {
         .orderBy(col("doc_id"))
     })
 
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
       |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents) w,
       |  UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws)-2, 0))) AS t(i))""".stripMargin
 
-  private val jaccardSql =
+  private[queries] val jaccardSql =
     """sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |co AS (SELECT a_id, b_id, COUNT(*) AS common
       |  FROM cand JOIN sh sa ON a_id = sa.doc_id
@@ -152,7 +152,7 @@ object Pipeline {
       |WHERE common * 10 >= 8 * (za.n + zb.n - common)
       |ORDER BY a_id, b_id""".stripMargin
 
-  private val minhashSigSql =
+  private[queries] val minhashSigSql =
     """sig AS (SELECT doc_id,
       |  MIN(MD5('1|' || shingle)) AS mh1, MIN(MD5('2|' || shingle)) AS mh2,
       |  MIN(MD5('3|' || shingle)) AS mh3, MIN(MD5('4|' || shingle)) AS mh4,

@@ -52,6 +52,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("resolveClusters: connected components keep the min doc_id") {
+    // Pairs graph: {1-4, 2-4} one component, {7-8} another, 9 isolated
+    // (not in pairs -> not in output).
+    val pairs = Seq((1L, 4L), (2L, 4L), (7L, 8L)).toDF("a_id", "b_id")
+    val clusters = Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("resolveClusters converges on a chain longer than one hop") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    val clusters = Dedup.resolveClusters(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.values.toSet === Set(1L))
+  }
+
+  test("DF-capped jaccard still finds near-dups, never shrinks denominators") {
+    // Cap at df<=2: shingles shared by all three near-identical docs drop
+    // out of candidate gen, but 1/2/4 still meet via rarer ("dog"/"cat")
+    // shingles. `common` is undercounted (conservative), so assert at a
+    // low threshold where the surviving common shingles still clear it.
+    val capped = Dedup.jaccardPairs(docs, t10 = 1, maxShingleDf = 2)
+      .select("a_id", "b_id", "n_a", "n_b").as[(Long, Long, Long, Long)].collect()
+    val uncapped = Dedup.jaccardPairs(docs, t10 = 1)
+      .select("a_id", "b_id", "n_a", "n_b").as[(Long, Long, Long, Long)].collect()
+    assert(capped.map(r => (r._1, r._2)).toSet.contains((1L, 4L)))
+    // Denominators (per-doc totals) identical with and without the cap.
+    val szCapped = capped.map(r => (r._1, r._3)).toMap
+    val szFull = uncapped.map(r => (r._1, r._3)).toMap
+    szCapped.keys.foreach(k => assert(szCapped(k) === szFull(k)))
+  }
+
   test("minhash signature identical for identical shingle sets") {
     val sig = Dedup.minhashSignature(Dedup.shingles(docs))
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
