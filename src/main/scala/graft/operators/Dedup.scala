@@ -166,9 +166,13 @@ object Dedup {
     * converged inputs stop early.
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Materialize the edge list once: it joins into EVERY round, and an
+    // unmaterialized plan would re-run the whole upstream pair-detection
+    // pipeline (shingles → minhash → LSH → verify) per iteration.
     val edges = pairs.select(col("a_id"), col("b_id"))
       .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .distinct()
+      .localCheckpoint()
     val nodes = edges.select(col("a_id").as("doc_id")).distinct()
     var labels = nodes.withColumn("keep_id", col("doc_id"))
     var iter = 0
