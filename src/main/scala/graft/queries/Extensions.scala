@@ -67,6 +67,40 @@ object Extensions {
         Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3, bits = 4)
     },
 
+    // RANGE window frame: 7-day trailing revenue per customer — value
+    // ranges (not row counts) define the frame, the time-series shape
+    // ROWS frames can't express.
+    "q_window_range" -> { (s, dir) =>
+      val days = datediff(col("o_orderdate"), lit("1990-01-01")).cast("long")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(days)
+        .rangeBetween(-6, Window.currentRow)
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          sum(dec(col("o_totalprice"), 14, 2)).over(w).cast("double")
+            .as("trailing_7d_revenue"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // Edit-distance fuzzy dedup: LSH-banded candidates verified by
+    // levenshtein on 40-char prefixes (identical DP algorithm in both
+    // engines) — the fourth near-dup family next to Jaccard / MinHash /
+    // SimHash / cosine.
+    "q_dedup_editdist" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, t10 = 5)
+        .select(col("a_id"), col("b_id"))
+      val txt = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+      pairs
+        .join(txt.as("ta"), col("a_id") === col("ta.doc_id"))
+        .join(txt.as("tb"), col("b_id") === col("tb.doc_id"))
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("ta.prefix"), col("tb.prefix")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 10)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // End-to-end dedup: LSH near-dup pairs resolved to clusters
     // (connected components via iterated min-label propagation) — the
     // survivor-selection step that turns pair detection into dedup.
@@ -252,6 +286,40 @@ object Extensions {
         |  list_inner_product(a.emb, c.emb) / (a.nrm * c.nrm) AS cos
         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         |WHERE list_inner_product(a.emb, c.emb) / (a.nrm * c.nrm) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_7d_revenue
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_dedup_editdist" ->
+      s"""WITH ${Pipeline.shinglesSql},
+        |${Pipeline.minhashSigSql},
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, MD5(mh1 || mh2) AS band_val FROM sig UNION ALL
+        |  SELECT doc_id, 1, MD5(mh3 || mh4) FROM sig UNION ALL
+        |  SELECT doc_id, 2, MD5(mh5 || mh6) FROM sig UNION ALL
+        |  SELECT doc_id, 3, MD5(mh7 || mh8) FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx
+        |  AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |co AS (SELECT a_id, b_id, COUNT(*) AS common
+        |  FROM cand JOIN sh sa ON a_id = sa.doc_id
+        |  JOIN sh sb ON b_id = sb.doc_id AND sa.shingle = sb.shingle
+        |  GROUP BY a_id, b_id),
+        |pairs AS (SELECT a_id, b_id
+        |  FROM co JOIN sz za ON a_id = za.doc_id JOIN sz zb ON b_id = zb.doc_id
+        |  WHERE common * 10 >= 5 * (za.n + zb.n - common)),
+        |txt AS (SELECT doc_id, SUBSTR(text, 1, 40) AS prefix FROM documents)
+        |SELECT a_id, b_id,
+        |  CAST(levenshtein(ta.prefix, tb.prefix) AS BIGINT) AS edit_dist
+        |FROM pairs JOIN txt ta ON a_id = ta.doc_id JOIN txt tb ON b_id = tb.doc_id
+        |WHERE levenshtein(ta.prefix, tb.prefix) <= 10
         |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE
