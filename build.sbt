@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // slowdowns contained to long-lived sessions). Spark's own build
   // reserves 1g for the same reason.
   "-XX:ReservedCodeCacheSize=1g",
+  // Flight recorder for the multi-10s stalls observed mid-catalog: gc +
+  // safepoint unified logging is near-zero-cost and tells GC pause vs
+  // safepoint stall vs neither (= external/system) after the fact.
+  "-Xlog:gc*=info,safepoint=info:file=/tmp/graft_jvm_%p.log:time,uptime",
 )

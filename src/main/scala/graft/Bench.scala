@@ -41,25 +41,31 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
+    // A failed pass records None, never its (fast) elapsed time: a crash
+    // must not be able to improve the min-over-passes headline number.
     val timings = (1 to passes).map { pass =>
       catalog.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] pass$pass $name $sec%.2fs")
-        name -> sec
+        System.err.println(f"[bench] pass$pass $name $sec%.2fs${if (ok) "" else " FAILED"}")
+        name -> (if (ok) Some(sec) else None)
       }.toMap
     }
     val results = catalog.map { case (name, _) =>
-      name -> timings.map(_(name)).min
+      name -> timings.flatMap(_(name)).minOption
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failed = results.collect { case (name, None) => name }
+    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,19 +17,19 @@ object Tables {
     * outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy
     * conf and rebuild a micros timestamp. Integer `DIV` — a double-typed
     * division would lose precision above 2^53 ns.
+    *
+    * The conf is set once per session and left set: a set/unset bracket
+    * around the read races against concurrent reads in the same session
+    * (the unset strips the flag from under a sibling plan). Setting the
+    * same value twice is idempotent, so concurrent first calls are safe,
+    * and the flag only changes how TIMESTAMP(NANOS) columns — which Spark
+    * otherwise refuses to read at all — surface (as long).
     */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        .select(raw.columns.map(col).toSeq: _*)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
-    }
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select(raw.columns.map(col).toSeq: _*)
   }
 }

@@ -134,9 +134,22 @@ object Dedup {
     * 8-hash signature; band-bucket equi-join for candidates; exact
     * verification at `t10/10` Jaccard.
     */
-  def minhashLshPairs(docs: DataFrame, t10: Int): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, t10: Int): DataFrame =
+    minhashLshPairs(docs, t10, maxBandDf = 0)
+
+  /** As [[minhashLshPairs]], but when `maxBandDf > 0` band buckets holding
+    * more than that many documents are EXCLUDED from candidate generation.
+    * A bucket of d docs creates d·(d-1)/2 candidate rows — one degenerate
+    * band value (boilerplate corpora, near-constant signatures) re-creates
+    * the quadratic blowup LSH exists to avoid. True near-dup pairs still
+    * meet through their other 3 bands, so recall loss is confined to pairs
+    * that ONLY collide in oversized buckets — at that bucket size they are
+    * boilerplate, not duplicates. A recall/cost knob like
+    * [[jaccardPairs]]'s `maxShingleDf`; default off for oracle parity.
+    */
+  def minhashLshPairs(docs: DataFrame, t10: Int, maxBandDf: Int): DataFrame = {
     val sh = shingles(docs)
-    val bands = minhashSignature(sh, 8).select(
+    val allBands = minhashSignature(sh, 8).select(
       col("doc_id"),
       posexplode(array(
         md5f(concat(col("mh1"), col("mh2"))),
@@ -144,6 +157,15 @@ object Dedup {
         md5f(concat(col("mh5"), col("mh6"))),
         md5f(concat(col("mh7"), col("mh8"))))))
       .toDF("doc_id", "band_idx", "band_val")
+    val bands =
+      if (maxBandDf <= 0) allBands
+      else {
+        val hot = allBands.groupBy(col("band_idx"), col("band_val"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxBandDf)
+          .select(col("band_idx"), col("band_val"))
+        allBands.join(hot, Seq("band_idx", "band_val"), "left_anti")
+      }
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
@@ -196,6 +218,14 @@ object Dedup {
       converged = moved == 0
       iter += 1
     }
+    // Labels of a component wider than maxIter hops have NOT reached the
+    // component minimum — surface it rather than return silently-partial
+    // clusters (callers compare against true transitive closure).
+    if (!converged)
+      System.err.println(
+        s"[graft] resolveClusters: label propagation did not converge in " +
+          s"$maxIter iterations; keep_ids may be non-minimal for components " +
+          s"with diameter > $maxIter")
     labels
   }
 

@@ -178,19 +178,21 @@ object Extensions {
 
     // Nested types + higher-order functions: collect_list (sorted — bare
     // collect_list order is partitioning-dependent), lambda transform /
-    // filter / aggregate, array predicates.
+    // filter / aggregate, array predicates. Array-valued columns are
+    // egressed as JSON strings: the driver's hash compare sorts rows in
+    // pandas, which cannot hash ndarray cells — scalars only on the wire.
     "q_collections" -> { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("ks"))
         .select(
           col("o_custkey"),
-          col("order_keys"),
-          size(col("order_keys")).cast("long").as("n_orders"),
-          expr("transform(order_keys, k -> k * 2)").as("doubled"),
-          expr("filter(order_keys, k -> k % 2 = 0)").as("even_keys"),
-          expr("aggregate(order_keys, 0L, (acc, k) -> acc + k)").as("key_sum"),
-          array_contains(col("order_keys"), 7L).as("has_7"))
+          to_json(col("ks")).as("order_keys"),
+          size(col("ks")).cast("long").as("n_orders"),
+          to_json(expr("transform(ks, k -> k * 2)")).as("doubled"),
+          to_json(expr("filter(ks, k -> k % 2 = 0)")).as("even_keys"),
+          expr("aggregate(ks, 0L, (acc, k) -> acc + k)").as("key_sum"),
+          array_contains(col("ks"), 7L).as("has_7"))
         .orderBy(col("o_custkey"))
     },
 
@@ -382,10 +384,12 @@ object Extensions {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_collections" ->
       """SELECT o_custkey,
-        |  LIST_SORT(LIST(o_orderkey)) AS order_keys,
+        |  CAST(to_json(LIST_SORT(LIST(o_orderkey))) AS VARCHAR) AS order_keys,
         |  CAST(LEN(LIST(o_orderkey)) AS BIGINT) AS n_orders,
-        |  LIST_TRANSFORM(LIST_SORT(LIST(o_orderkey)), k -> k * 2) AS doubled,
-        |  LIST_FILTER(LIST_SORT(LIST(o_orderkey)), k -> k % 2 = 0) AS even_keys,
+        |  CAST(to_json(LIST_TRANSFORM(LIST_SORT(LIST(o_orderkey)), k -> k * 2))
+        |    AS VARCHAR) AS doubled,
+        |  CAST(to_json(LIST_FILTER(LIST_SORT(LIST(o_orderkey)), k -> k % 2 = 0))
+        |    AS VARCHAR) AS even_keys,
         |  CAST(LIST_AGGREGATE(LIST(o_orderkey), 'sum') AS BIGINT) AS key_sum,
         |  LIST_CONTAINS(LIST(o_orderkey), 7) AS has_7
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,

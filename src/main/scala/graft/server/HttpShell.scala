@@ -45,11 +45,11 @@ final class HttpShell(spark: SparkSession, baseDir: String, port: Int = 3000) {
 
   private def route(ex: HttpExchange): Unit =
     try {
-      (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+      (ex.getRequestMethod, ex.getRequestURI.getRawPath) match {
         case ("GET", "/") => respond(ex, 200, HttpShell.consoleHtml, "text/html")
-        case ("GET", DataPath(id, "preview")) => preview(ex, id)
-        case ("GET", DataPath(id, "delays")) => delays(ex, id)
-        case ("POST", DataPath(id, "regression")) => regression(ex, id)
+        case ("GET", DataPath(id, "preview")) => preview(ex, dec(id))
+        case ("GET", DataPath(id, "delays")) => delays(ex, dec(id))
+        case ("POST", DataPath(id, "regression")) => regression(ex, dec(id))
         case _ => respondJson(ex, 404, """{"error":"not found"}""")
       }
     } catch {
@@ -61,17 +61,31 @@ final class HttpShell(spark: SparkSession, baseDir: String, port: Int = 3000) {
         respondJson(ex, 500, s"""{"error":"${esc(String.valueOf(e.getMessage))}"}""")
     }
 
+  /** Percent-decode a path segment or query token (axum decodes both;
+    * getRequestURI.getQuery/getRawPath do not). `+` is a space in query
+    * strings, which URLDecoder handles.
+    */
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
   private def query(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getQuery).getOrElse("").split("&").toSeq
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
       .filter(_.contains("="))
-      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }
+      .map { kv => val Array(k, v) = kv.split("=", 2); dec(k) -> dec(v) }
       .toMap
 
+  /** Non-negative int param; reference parity: `limit` deserializes as
+    * u32, so a negative value is a 400 from the framework, not a 500
+    * surfacing Spark's negative-limit error.
+    */
   private def intParam(q: Map[String, String], name: String): Option[Int] =
     q.get(name).map { v =>
-      try v.toInt
-      catch { case _: NumberFormatException =>
-        throw BadRequestException(s"invalid $name: '$v'") }
+      val n =
+        try v.toInt
+        catch { case _: NumberFormatException =>
+          throw BadRequestException(s"invalid $name: '$v'") }
+      if (n < 0) throw BadRequestException(s"invalid $name: '$v'")
+      n
     }
 
   private def preview(ex: HttpExchange, id: String): Unit = {
@@ -119,19 +133,83 @@ final class HttpShell(spark: SparkSession, baseDir: String, port: Int = 3000) {
 }
 
 object HttpShell {
-  /** Minimal console driving the three endpoints (reference main.rs:337-520). */
+  /** Console page driving all three endpoints via fetch, like the
+    * reference's embedded frontend (main.rs:337-520: preview at :448,
+    * delays at :477, regression at :502). Same behavior — encoded
+    * dataset id, optional params omitted when blank, status-line error
+    * reporting — expressed as one generic `call` helper instead of three
+    * copies.
+    */
   val consoleHtml: String =
-    """<!DOCTYPE html><html><head><title>graft console</title></head><body>
-      |<h1>graft</h1>
-      |<p>GET /data/{id}/preview?limit=N · GET /data/{id}/delays?sorting=Desc&limit=N ·
-      |POST /data/{id}/regression {"x_col":"...","y_col":"..."}</p>
-      |<input id="ds" placeholder="dataset id"/><button onclick="prev()">preview</button>
-      |<pre id="out"></pre>
+    """<!DOCTYPE html><html lang="en"><head><meta charset="UTF-8"/>
+      |<title>graft console</title>
+      |<style>
+      |  body { font-family: system-ui, sans-serif; max-width: 60rem; margin: 2rem auto; }
+      |  fieldset { margin-bottom: 1.5rem; border-radius: 8px; }
+      |  pre { background: #f4f4f4; padding: .75rem; max-height: 20rem; overflow: auto; }
+      |</style></head><body>
+      |<h1>graft console</h1>
+      |<p>Runs against parquet/CSV datasets under the shell's base dir:
+      |dataset id <code>x</code> → <code>&lt;base&gt;/x.csv</code>.</p>
+      |
+      |<fieldset><legend>Preview</legend>
+      |  <label>dataset <input id="p_id"/></label>
+      |  <label>limit <input id="p_limit" type="number" value="20"/></label>
+      |  <button onclick="doPreview()">preview</button>
+      |  <pre id="p_out"></pre>
+      |</fieldset>
+      |
+      |<fieldset><legend>Sorted delays</legend>
+      |  <label>dataset <input id="d_id"/></label>
+      |  <label>sorting <select id="d_sorting">
+      |    <option value="">(none)</option><option>Asc</option><option>Desc</option>
+      |  </select></label>
+      |  <label>limit <input id="d_limit" type="number" value="20"/></label>
+      |  <button onclick="doDelays()">load</button>
+      |  <pre id="d_out"></pre>
+      |</fieldset>
+      |
+      |<fieldset><legend>Regression</legend>
+      |  <label>dataset <input id="r_id"/></label>
+      |  <label>x column <input id="r_x"/></label>
+      |  <label>y column <input id="r_y"/></label>
+      |  <button onclick="doRegression()">run</button>
+      |  <pre id="r_out"></pre>
+      |</fieldset>
+      |
       |<script>
-      |async function prev() {
-      |  const id = document.getElementById('ds').value;
-      |  const r = await fetch(`/data/${id}/preview?limit=10`);
-      |  document.getElementById('out').textContent = JSON.stringify(await r.json(), null, 2);
+      |const v = id => document.getElementById(id).value.trim();
+      |async function call(outId, url, init) {
+      |  const out = document.getElementById(outId);
+      |  out.textContent = 'Loading...';
+      |  try {
+      |    const res = await fetch(url, init);
+      |    const body = await res.text();
+      |    out.textContent = res.ok
+      |      ? JSON.stringify(JSON.parse(body), null, 2)
+      |      : 'Error ' + res.status + ': ' + body;
+      |  } catch (err) { out.textContent = 'Request failed: ' + err; }
+      |}
+      |function doPreview() {
+      |  if (!v('p_id')) return;
+      |  const ps = new URLSearchParams();
+      |  if (v('p_limit')) ps.set('limit', v('p_limit'));
+      |  call('p_out', `/data/${encodeURIComponent(v('p_id'))}/preview?` + ps);
+      |}
+      |function doDelays() {
+      |  if (!v('d_id')) return;
+      |  const ps = new URLSearchParams();
+      |  if (v('d_sorting')) ps.set('sorting', v('d_sorting'));
+      |  if (v('d_limit')) ps.set('limit', v('d_limit'));
+      |  call('d_out', `/data/${encodeURIComponent(v('d_id'))}/delays?` + ps);
+      |}
+      |function doRegression() {
+      |  if (!v('r_id') || !v('r_x') || !v('r_y')) return;
+      |  call('r_out', `/data/${encodeURIComponent(v('r_id'))}/regression`, {
+      |    method: 'POST',
+      |    headers: { 'Content-Type': 'application/json' },
+      |    body: JSON.stringify({ x_col: v('r_x'), y_col: v('r_y') })
+      |  });
       |}
       |</script></body></html>""".stripMargin
 

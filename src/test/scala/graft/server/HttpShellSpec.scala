@@ -48,6 +48,29 @@ class HttpShellSpec extends AnyFunSuite {
     assert(r.body().contains("graft"))
   }
 
+  test("console drives all three endpoints (reference main.rs:448,477,502)") {
+    val html = get("/").body()
+    assert(html.contains("/preview?"))
+    assert(html.contains("/delays?"))
+    assert(html.contains("/regression"))
+    // each goes through fetch with an encoded dataset id
+    assert(html.contains("encodeURIComponent"))
+    Seq("doPreview", "doDelays", "doRegression").foreach(f =>
+      assert(html.contains(s"onclick=\"$f()\""), s"console button for $f"))
+  }
+
+  test("percent-encoded dataset id resolves (axum decodes path segments)") {
+    // "tra%69ns" decodes to "trains"
+    val r = get("/data/tra%69ns/preview?limit=1")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("ICE 1"))
+  }
+
+  test("negative limit → 400 (u32 deserialization parity)") {
+    assert(get("/data/trains/preview?limit=-5").statusCode() === 400)
+    assert(get("/data/trains/delays?limit=-1").statusCode() === 400)
+  }
+
   test("preview returns JSON rows with default limit semantics") {
     val r = get("/data/trains/preview?limit=2")
     assert(r.statusCode() === 200)
