@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g on a 128 GiB box: the round-2 driver bench hit a 25s G1 full GC
+  // and 68s time-to-safepoint stalls under the old 8g heap with 32
+  // concurrent tasks (evidence: -Xlog flight-recorder, documented in
+  // IMPLEMENTATION.md). Headroom is cheaper than a stop-the-world.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // Whole-stage codegen loads one Janino class per stage; across a
   // 42-query catalog the default 240m code cache fills, the JIT stops
   // compiling, and late queries run interpreted (observed 10-50×
