@@ -47,12 +47,14 @@ final class HttpShell(spark: SparkSession, baseDir: String, port: Int = 3000) {
     try {
       (ex.getRequestMethod, ex.getRequestURI.getRawPath) match {
         case ("GET", "/") => respond(ex, 200, HttpShell.consoleHtml, "text/html")
-        case ("GET", DataPath(id, "preview")) => preview(ex, dec(id))
-        case ("GET", DataPath(id, "delays")) => delays(ex, dec(id))
-        case ("POST", DataPath(id, "regression")) => regression(ex, dec(id))
+        case ("GET", DataPath(id, "preview")) => preview(ex, decSeg(id))
+        case ("GET", DataPath(id, "delays")) => delays(ex, decSeg(id))
+        case ("POST", DataPath(id, "regression")) => regression(ex, decSeg(id))
         case _ => respondJson(ex, 404, """{"error":"not found"}""")
       }
     } catch {
+      case _: HttpShell.RejectedSegment =>
+        respondJson(ex, 404, """{"error":"not found"}""")
       case e: BadRequestException =>
         respondJson(ex, 400, s"""{"error":"${esc(e.getMessage)}"}""")
       case e: DatasetLoadException =>
@@ -61,12 +63,27 @@ final class HttpShell(spark: SparkSession, baseDir: String, port: Int = 3000) {
         respondJson(ex, 500, s"""{"error":"${esc(String.valueOf(e.getMessage))}"}""")
     }
 
-  /** Percent-decode a path segment or query token (axum decodes both;
-    * getRequestURI.getQuery/getRawPath do not). `+` is a space in query
-    * strings, which URLDecoder handles.
+  /** Percent-decode a QUERY token (axum decodes both path and query;
+    * getRequestURI.getRawQuery does not). `+` is a space in query
+    * strings, which URLDecoder's form semantics handle.
     */
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  /** Percent-decode a PATH segment. Two deliberate differences from
+    * [[dec]]: (1) URI path semantics keep `+` literal (axum parity —
+    * form decoding would turn `/data/a+b/preview` into dataset "a b");
+    * (2) a decoded separator must not resurrect as one. The route regex
+    * matches the RAW path, so `..%2F..%2Fetc%2Fx` arrives as one
+    * segment and would otherwise decode into a traversal that walks
+    * [[DataLake]] out of its base dir — any such id is rejected as 404,
+    * exactly what a literal-`/` id gets from the router.
+    */
+  private def decSeg(s: String): String = {
+    val d = java.net.URLDecoder.decode(s.replace("+", "%2B"), StandardCharsets.UTF_8)
+    if (d.contains('/') || d.contains('\\')) throw new HttpShell.RejectedSegment
+    d
+  }
 
   private def query(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
@@ -133,6 +150,11 @@ final class HttpShell(spark: SparkSession, baseDir: String, port: Int = 3000) {
 }
 
 object HttpShell {
+  /** Control-flow marker for path segments rejected after decoding
+    * (traversal / separator smuggling) — mapped to 404 in [[route]].
+    */
+  private[server] final class RejectedSegment extends RuntimeException
+
   /** Console page driving all three endpoints via fetch, like the
     * reference's embedded frontend (main.rs:337-520: preview at :448,
     * delays at :477, regression at :502). Same behavior — encoded

@@ -26,16 +26,31 @@ final class DataLake(spark: SparkSession, baseDir: String) {
 
   def parquetPath(datasetId: String): Path = Paths.get(baseDir, s"$datasetId.parquet")
 
+  /** Containment invariant: a dataset id must resolve to a file UNDER
+    * baseDir once normalized. Ids with subdirectories ("2024/jan") are a
+    * legitimate lake layout; ids that traverse OUT ("../../etc/passwd")
+    * are not — they'd turn any caller that forwards untrusted ids into
+    * an arbitrary-file read. Checked on every load; [[datasetExists]]
+    * reports escaping ids as absent.
+    */
+  private val normalizedBase = Paths.get(baseDir).toAbsolutePath.normalize
+  private def contained(p: Path): Boolean =
+    p.toAbsolutePath.normalize.startsWith(normalizedBase)
+
   /** Existence probe (reference main.rs:55-57). True if either format exists. */
   def datasetExists(datasetId: String): Boolean =
-    Files.exists(datasetPath(datasetId)) || Files.exists(parquetPath(datasetId))
+    (contained(datasetPath(datasetId)) && Files.exists(datasetPath(datasetId))) ||
+      (contained(parquetPath(datasetId)) && Files.exists(parquetPath(datasetId)))
 
   /** Eager-equivalent load (reference main.rs:44-52): header row, inferred
     * schema. Parquet preferred when present (typed, columnar, prunable);
     * CSV fallback matches the reference convention. Load failure →
     * [[DatasetLoadException]] (500-equivalent, main.rs:114).
     */
-  def load(datasetId: String): DataFrame =
+  def load(datasetId: String): DataFrame = {
+    if (!contained(datasetPath(datasetId)) || !contained(parquetPath(datasetId)))
+      throw DatasetLoadException(
+        s"dataset id resolves outside the lake base dir: '$datasetId'", null)
     try {
       if (Files.exists(parquetPath(datasetId)))
         spark.read.parquet(parquetPath(datasetId).toString)
@@ -48,4 +63,5 @@ final class DataLake(spark: SparkSession, baseDir: String) {
       case e: Throwable =>
         throw DatasetLoadException(s"failed to load dataset '$datasetId': ${e.getMessage}", e)
     }
+  }
 }

@@ -15,7 +15,7 @@ class HttpShellSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private lazy val client = HttpClient.newHttpClient()
 
-  private lazy val (shell, port) = {
+  private lazy val (shell, port, outsideId) = {
     val dir = Files.createTempDirectory("lake").toString
     Files.writeString(Paths.get(dir, "trains.csv"),
       """train_id,departure_delay,arrival_delay,distance_km
@@ -26,8 +26,12 @@ class HttpShellSpec extends AnyFunSuite {
     Files.writeString(Paths.get(dir, "plz.csv"),
       "plz,einwohner,qkm\n01067,11957,6.1\n01069,25491,8.5\n01097,14821,5.2\n")
     Files.writeString(Paths.get(dir, "nodelay.csv"), "a,b\n1,2\n")
+    Files.writeString(Paths.get(dir, "a+b.csv"), "c\nplus-literal\n")
+    // A readable CSV OUTSIDE the lake: the traversal target.
+    val outside = Files.createTempDirectory("outside")
+    Files.writeString(outside.resolve("secret.csv"), "s\nTOPSECRET\n")
     val s = new HttpShell(spark, dir, port = 0) // ephemeral port
-    (s, s.start())
+    (s, s.start(), s"..%2F${outside.getFileName}%2Fsecret")
   }
 
   private def get(path: String): HttpResponse[String] =
@@ -95,6 +99,25 @@ class HttpShellSpec extends AnyFunSuite {
 
   test("unknown dataset → 500 (load failure, main.rs:114)") {
     assert(get("/data/ghost/preview").statusCode() === 500)
+  }
+
+  test("encoded traversal id → 404, file outside the lake is not served") {
+    for (ep <- Seq("preview", "delays")) {
+      val r = get(s"/data/$outsideId/$ep")
+      assert(r.statusCode() === 404, s"$ep must reject traversal ids")
+      assert(!r.body().contains("TOPSECRET"))
+    }
+    assert(post(s"/data/$outsideId/regression",
+      """{"x_col":"s","y_col":"s"}""").statusCode() === 404)
+    // double-encoded and backslash variants
+    assert(get("/data/..%252Fx/preview").statusCode() !== 200)
+    assert(get("/data/..%5Cx/preview").statusCode() === 404)
+  }
+
+  test("literal '+' in a dataset id stays a plus (URI path semantics)") {
+    val r = get("/data/a+b/preview")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("plus-literal"))
   }
 
   test("regression returns slope/intercept/r2") {

@@ -51,4 +51,19 @@ class DataLakeSpec extends AnyFunSuite {
   test("missing dataset → DatasetLoadException (500-equivalent, main.rs:114)") {
     assertThrows[DatasetLoadException](lake.load("missing").collect())
   }
+
+  test("ids that escape the base dir are rejected; subdir ids are not") {
+    // Traversal target that really exists outside the lake.
+    val outside = Files.createTempDirectory("outside")
+    Files.writeString(outside.resolve("secret.csv"), "s\nTOPSECRET\n")
+    val escape = s"../${outside.getFileName}/secret"
+    assert(!lake.datasetExists(escape))
+    assertThrows[DatasetLoadException](lake.load(escape))
+    assertThrows[DatasetLoadException](lake.load("../../etc/passwd"))
+    // Subdirectories under the base remain a legitimate layout.
+    Files.createDirectories(Paths.get(base, "2024"))
+    Files.writeString(Paths.get(base, "2024", "jan.csv"), "a\n1\n")
+    assert(lake.datasetExists("2024/jan"))
+    assert(lake.load("2024/jan").count() === 1)
+  }
 }
