@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Ascending, Attribute, AttributeSet, Expression, GenericInternalRow,
-  JoinedRow, NamedExpression, SortOrder, UnsafeProjection}
+  Alias, Ascending, Attribute, AttributeSet, Descending, Expression,
+  GenericInternalRow, JoinedRow, NamedExpression, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.SparkPlan
@@ -31,13 +31,23 @@ import org.apache.spark.sql.graftbridge.Bridge
 object NativeAsof {
 
   /** Left as-of join of `left` with `right` on equal `key`, matching the
-    * latest right row with `rightTime <= leftTime`. Carried right columns
-    * come back `asof_`-prefixed (null when no match). Ties on rightTime
-    * resolve to the greatest `tieBreak`.
+    * latest right row with `rightTime <= leftTime` — or, with
+    * `forward = true`, the earliest right row with `rightTime >= leftTime`.
+    * Carried right columns come back `asof_`-prefixed (null when no
+    * match). Ties on rightTime resolve to the greatest `tieBreak`.
+    *
+    * `tolerance` bounds the match distance in the time column's PHYSICAL
+    * units (micros for TIMESTAMP, days for DATE, the raw value for
+    * integral types) — the merge sweep compares raw Catalyst values, so
+    * the bound lives in the same domain. The `nearest` strategy is only
+    * offered by the portable [[graft.operators.AsofJoin]]: it needs both
+    * sweep directions, which in the single-pass merge would require
+    * conflicting tie orderings on the right side.
     */
   def leftAsof(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightCols: Seq[String],
-      tieBreak: String): DataFrame = {
+      tieBreak: String, forward: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     val lp = Bridge.logicalPlan(left)
     val rp = Bridge.logicalPlan(right)
@@ -52,7 +62,7 @@ object NativeAsof {
     Bridge.ofRows(spark, AsofJoinNode(
       lp, rp, attr(lp, key), attr(rp, key),
       attr(lp, leftTime), attr(rp, rightTime), attr(rp, tieBreak),
-      carried, outputAttrs))
+      carried, outputAttrs, forward, tolerance))
   }
 }
 
@@ -68,7 +78,9 @@ final case class AsofJoinNode(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression, tieBreak: Expression,
     carried: Seq[NamedExpression],
-    outputAttrs: Seq[Attribute]) extends BinaryNode {
+    outputAttrs: Seq[Attribute],
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] = outputAttrs
 
@@ -89,7 +101,7 @@ object AsofStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     case n: AsofJoinNode =>
       AsofJoinExec(planLater(n.left), planLater(n.right),
         n.leftKey, n.rightKey, n.leftTime, n.rightTime, n.tieBreak,
-        n.carried, n.outputAttrs) :: Nil
+        n.carried, n.outputAttrs, n.forward, n.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -102,7 +114,9 @@ final case class AsofJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression, tieBreak: Expression,
     carried: Seq[NamedExpression],
-    override val output: Seq[Attribute])
+    override val output: Seq[Attribute],
+    forward: Boolean = false,
+    tolerance: Option[Long] = None)
     extends SparkPlan with org.apache.spark.sql.execution.BinaryExecNode {
 
   override def producedAttributes: AttributeSet =
@@ -111,12 +125,14 @@ final case class AsofJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
-  // (key, time) per side; right additionally tie-sorted so the last row
-  // the sweep buffers for an equal timestamp is the max-tieBreak one.
+  // (key, time) per side; right additionally tie-sorted so the row the
+  // sweep exposes for an equal-timestamp run is the max-tieBreak one:
+  // backward buffers the LAST row of a run (tie asc), forward peeks the
+  // FIRST row of a run (tie desc).
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
-      SortOrder(tieBreak, Ascending)))
+      SortOrder(tieBreak, if (forward) Descending else Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
@@ -136,7 +152,19 @@ final case class AsofJoinExec(
     val rightOut = right.output
     val lKey = leftKey; val rKey = rightKey
     val lTime = leftTime; val rTime = rightTime
-    val out = output
+    val fwd = forward
+    val tol = tolerance
+    // Raw time value → Long for the tolerance bound: Catalyst stores
+    // TIMESTAMP as Long micros, DATE as Int days, integrals as themselves.
+    def timeAsLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case d: org.apache.spark.sql.types.Decimal => d.toLong
+      case other => throw new UnsupportedOperationException(
+        s"as-of tolerance unsupported for time value of ${other.getClass}")
+    }
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyEval = UnsafeProjection.create(Seq(lKey, lTime), leftOut)
       val rKeyEval = UnsafeProjection.create(Seq(rKey, rTime), rightOut)
@@ -150,28 +178,54 @@ final case class AsofJoinExec(
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      // Latest right row whose (key, time) precedes the current left row;
-      // only valid while its key equals the current left key.
-      var held: InternalRow = null
-      var heldKT: InternalRow = null
-      lIter.map { lRow =>
-        val lkt = lKeyEval(lRow)
-        // Advance the right side through every row at or before (k, t).
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rkt = rKeyEval(rBuf.head)
-          val kc = keyOrd.compare(rkt.get(0, rKey.dataType), lkt.get(0, lKey.dataType))
-          val before = kc < 0 ||
-            (kc == 0 && timeOrd.compare(
-              rkt.get(1, rTime.dataType), lkt.get(1, lTime.dataType)) <= 0)
-          if (before) {
-            held = rBuf.next().copy()
-            heldKT = rkt.copy()
-          } else advancing = false
+      def withinTol(dist: Long): Boolean = tol.forall(dist <= _)
+      if (!fwd) {
+        // Backward: buffer the latest right row at or before (k, t).
+        var held: InternalRow = null
+        var heldKT: InternalRow = null
+        lIter.map { lRow =>
+          val lkt = lKeyEval(lRow)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rkt = rKeyEval(rBuf.head)
+            val kc = keyOrd.compare(rkt.get(0, rKey.dataType), lkt.get(0, lKey.dataType))
+            val before = kc < 0 ||
+              (kc == 0 && timeOrd.compare(
+                rkt.get(1, rTime.dataType), lkt.get(1, lTime.dataType)) <= 0)
+            if (before) {
+              held = rBuf.next().copy()
+              heldKT = rkt.copy()
+            } else advancing = false
+          }
+          val matched = held != null &&
+            keyOrd.compare(heldKT.get(0, rKey.dataType), lkt.get(0, lKey.dataType)) == 0 &&
+            withinTol(timeAsLong(lkt.get(1, lTime.dataType)) -
+              timeAsLong(heldKT.get(1, rTime.dataType)))
+          project(joined(lRow, if (matched) held else nullRight))
         }
-        val matched = held != null &&
-          keyOrd.compare(heldKT.get(0, rKey.dataType), lkt.get(0, lKey.dataType)) == 0
-        project(joined(lRow, if (matched) held else nullRight))
+      } else {
+        // Forward: discard right rows strictly before (k, t); the head of
+        // the buffer is then the earliest candidate at or after it. The
+        // head is NOT consumed — later left rows may match the same row.
+        lIter.map { lRow =>
+          val lkt = lKeyEval(lRow)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rkt = rKeyEval(rBuf.head)
+            val kc = keyOrd.compare(rkt.get(0, rKey.dataType), lkt.get(0, lKey.dataType))
+            val strictlyBefore = kc < 0 ||
+              (kc == 0 && timeOrd.compare(
+                rkt.get(1, rTime.dataType), lkt.get(1, lTime.dataType)) < 0)
+            if (strictlyBefore) { rBuf.next(); () } else advancing = false
+          }
+          val matched = rBuf.hasNext && {
+            val rkt = rKeyEval(rBuf.head)
+            keyOrd.compare(rkt.get(0, rKey.dataType), lkt.get(0, lKey.dataType)) == 0 &&
+              withinTol(timeAsLong(rkt.get(1, rTime.dataType)) -
+                timeAsLong(lkt.get(1, lTime.dataType)))
+          }
+          project(joined(lRow, if (matched) rBuf.head else nullRight))
+        }
       }
     }
   }

@@ -31,6 +31,60 @@ object Extensions {
         .orderBy(col("event_id"))
     },
 
+    // As-of with a tolerance bound (polars join_asof tolerance=): same
+    // shape as q_asof_join but a click older than 15 minutes is no match.
+    "q_asof_tolerance" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsofJoin.leftAsof(purchases, clicks, "user_id", "ts", "ts",
+          rightCols = Seq("event_id", "value"), tieBreak = "event_id",
+          strategy = AsofJoin.Backward,
+          tolerance = Some(expr("INTERVAL 15 MINUTES")))
+        .select(
+          col("event_id"), col("user_id"), tsS(col("ts")).as("ts_s"),
+          col("asof_event_id").as("click_id"), col("asof_value").as("click_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // Forward as-of (polars strategy="forward"): each click attributes to
+    // the NEXT purchase by the same user within one hour.
+    "q_asof_forward" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsofJoin.leftAsof(clicks, purchases, "user_id", "ts", "ts",
+          rightCols = Seq("event_id", "value"), tieBreak = "event_id",
+          strategy = AsofJoin.Forward,
+          tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select(
+          col("event_id"), col("user_id"), tsS(col("ts")).as("ts_s"),
+          col("asof_event_id").as("purchase_id"),
+          col("asof_value").as("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // Nearest as-of (polars strategy="nearest"): closest click either
+    // side of each purchase; equidistant resolves backward.
+    "q_asof_nearest" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsofJoin.leftAsof(purchases, clicks, "user_id", "ts", "ts",
+          rightCols = Seq("event_id", "value"), tieBreak = "event_id",
+          strategy = AsofJoin.Nearest)
+        .select(
+          col("event_id"), col("user_id"), tsS(col("ts")).as("ts_s"),
+          col("asof_event_id").as("click_id"), col("asof_value").as("click_value"))
+        .orderBy(col("event_id"))
+    },
+
     // Tumbling event-time window aggregation in batch (same semantics a
     // Structured Streaming job would produce after watermark close).
     "q_events_window" -> { (s, dir) =>
@@ -256,6 +310,44 @@ object Extensions {
         |ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
         |  WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // DuckDB ASOF has no tolerance bound, so the bounded/nearest oracles
+    // are LATERAL top-1 — the executable definition of the semantics.
+    "q_asof_tolerance" ->
+      s"""SELECT p.event_id, p.user_id, ${tsSqlS("p.ts")} AS ts_s,
+        |  c.click_id, c.click_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id AS click_id, e.value AS click_value
+        |  FROM events e
+        |  WHERE e.event_type = 'click' AND e.user_id = p.user_id
+        |    AND e.ts <= p.ts AND e.ts >= p.ts - INTERVAL 15 MINUTE
+        |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+        |) c ON TRUE
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_forward" ->
+      s"""SELECT cl.event_id, cl.user_id, ${tsSqlS("cl.ts")} AS ts_s,
+        |  p.purchase_id, p.purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') cl
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id AS purchase_id, e.value AS purchase_value
+        |  FROM events e
+        |  WHERE e.event_type = 'purchase' AND e.user_id = cl.user_id
+        |    AND e.ts >= cl.ts AND e.ts <= cl.ts + INTERVAL 1 HOUR
+        |  ORDER BY e.ts ASC, e.event_id DESC LIMIT 1
+        |) p ON TRUE
+        |ORDER BY cl.event_id""".stripMargin,
+    "q_asof_nearest" ->
+      s"""SELECT p.event_id, p.user_id, ${tsSqlS("p.ts")} AS ts_s,
+        |  c.click_id, c.click_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id AS click_id, e.value AS click_value
+        |  FROM events e
+        |  WHERE e.event_type = 'click' AND e.user_id = p.user_id
+        |  ORDER BY ABS(date_diff('microsecond', e.ts, p.ts)) ASC,
+        |    (e.ts > p.ts) ASC, e.event_id DESC LIMIT 1
+        |) c ON TRUE
         |ORDER BY p.event_id""".stripMargin,
     "q_events_window" ->
       s"""SELECT ${tsSqlS("time_bucket(INTERVAL 1 HOUR, ts)")} AS window_start,

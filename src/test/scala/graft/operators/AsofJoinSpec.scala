@@ -52,4 +52,43 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
     assert(plan.contains("Window"), plan)
   }
+
+  private def run(strategy: AsofJoin.Strategy,
+      tol: Option[org.apache.spark.sql.Column] = None) =
+    AsofJoin.leftAsof(trades, quotes, "sym", "t", "t",
+        rightCols = Seq("quote_id", "px"), tieBreak = "quote_id",
+        strategy = strategy, tolerance = tol)
+      .select($"trade_id", $"asof_quote_id", $"asof_px")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+
+  test("forward: earliest right row with rt >= lt; max tieBreak on equal rt") {
+    val f = run(AsofJoin.Forward)
+    assert(f(1L) === Some((102L, 3.0))) // 10:00:10 run, max tieBreak
+    assert(f(2L) === Some((102L, 3.0))) // equal timestamp still matches
+    assert(f(3L) === Some((100L, 1.0))) // earliest quote after 09:59:00
+    assert(f(4L) === None)              // key with no quotes
+  }
+
+  test("nearest: closer candidate wins; exact tie prefers backward") {
+    val n = run(AsofJoin.Nearest)
+    assert(n(1L) === Some((100L, 1.0))) // 5s back vs 5s forward → backward
+    assert(n(2L) === Some((102L, 3.0)))
+    assert(n(3L) === Some((100L, 1.0))) // only a forward candidate exists
+    assert(n(4L) === None)
+  }
+
+  test("tolerance bounds the match distance in every strategy") {
+    import org.apache.spark.sql.functions.expr
+    val tol = Some(expr("INTERVAL 3 SECONDS"))
+    val b = run(AsofJoin.Backward, tol)
+    assert(b(1L) === None)              // 100 is 5s back — outside 3s
+    assert(b(2L) === Some((102L, 3.0))) // exact match, distance 0
+    val f = run(AsofJoin.Forward, tol)
+    assert(f(1L) === None)              // 102 is 5s forward — outside 3s
+    assert(f(3L) === None)              // 100 is 60s forward
+    val n = run(AsofJoin.Nearest, tol)
+    assert(n(1L) === None)
+    assert(n(2L) === Some((102L, 3.0)))
+  }
 }

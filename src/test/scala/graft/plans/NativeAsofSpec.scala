@@ -75,6 +75,57 @@ class NativeAsofSpec extends AnyFunSuite {
     }
   }
 
+  test("native forward and tolerance agree with the portable formulation") {
+    withExtSession { spark =>
+      import spark.implicits._
+      val trades = Seq(
+        (1L, 10L, ts("2024-01-01 10:00:05")),
+        (2L, 10L, ts("2024-01-01 10:00:10")),
+        (3L, 10L, ts("2024-01-01 09:59:00")),
+        (4L, 20L, ts("2024-01-01 10:00:07")),
+        (5L, 30L, ts("2024-01-01 11:00:00")),
+        (6L, 30L, ts("2024-01-01 11:00:00"))
+      ).toDF("trade_id", "sym", "t")
+      val quotes = Seq(
+        (100L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+        (101L, 10L, ts("2024-01-01 10:00:10"), 2.0),
+        (102L, 10L, ts("2024-01-01 10:00:10"), 3.0),
+        (103L, 30L, ts("2024-01-01 10:59:59"), 4.0),
+        (104L, 40L, ts("2024-01-01 00:00:00"), 9.0)
+      ).toDF("quote_id", "sym", "t", "px")
+      def sortRows(df: org.apache.spark.sql.DataFrame) =
+        df.select("trade_id", "asof_quote_id", "asof_px")
+          .collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+      // Forward, unbounded.
+      assert(
+        sortRows(NativeAsof.leftAsof(trades, quotes, "sym", "t", "t",
+          Seq("quote_id", "px"), tieBreak = "quote_id", forward = true)) ===
+        sortRows(AsofJoin.leftAsof(trades, quotes, "sym", "t", "t",
+          Seq("quote_id", "px"), tieBreak = "quote_id",
+          strategy = AsofJoin.Forward)))
+      // Backward and forward with a 3-second tolerance (native takes the
+      // bound in timestamp micros; portable as an interval literal).
+      import org.apache.spark.sql.functions.expr
+      val tolUs = 3L * 1000 * 1000
+      assert(
+        sortRows(NativeAsof.leftAsof(trades, quotes, "sym", "t", "t",
+          Seq("quote_id", "px"), tieBreak = "quote_id",
+          tolerance = Some(tolUs))) ===
+        sortRows(AsofJoin.leftAsof(trades, quotes, "sym", "t", "t",
+          Seq("quote_id", "px"), tieBreak = "quote_id",
+          tolerance = Some(expr("INTERVAL 3 SECONDS")))))
+      assert(
+        sortRows(NativeAsof.leftAsof(trades, quotes, "sym", "t", "t",
+          Seq("quote_id", "px"), tieBreak = "quote_id", forward = true,
+          tolerance = Some(tolUs))) ===
+        sortRows(AsofJoin.leftAsof(trades, quotes, "sym", "t", "t",
+          Seq("quote_id", "px"), tieBreak = "quote_id",
+          strategy = AsofJoin.Forward,
+          tolerance = Some(expr("INTERVAL 3 SECONDS")))))
+    }
+  }
+
   test("unmatched left rows carry nulls (non-nullable right columns included)") {
     withExtSession { spark =>
       import spark.implicits._
