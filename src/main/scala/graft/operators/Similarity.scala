@@ -73,34 +73,79 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** IVF cell assignment: nearest (by cosine) of `k` seed centroids.
-    * Seeds are the `k` lowest vec_ids — deterministic, so the DuckDB
-    * oracle can replay the exact partition (real IVF would k-means the
-    * seeds; the assignment/probe machinery is identical). The centroid
-    * side broadcasts (k rows), so assignment is a narrow N×k pass.
+  /** Quantized copy of the vectors for the coarse quantizer: `qemb` is
+    * `emb` rounded to 3 decimals (double), `qd` the same values as exact
+    * DECIMAL(10,3). Lloyd means over `qd` sum EXACTLY in any order — so
+    * k-means is deterministic under Spark's shuffle AND bit-replayable by
+    * the SQL oracle — while quantization noise (≤5e-4/dim) is irrelevant
+    * to which cell a vector lands in. Search still uses full-precision
+    * `emb`.
     */
-  def ivfAssign(embeddings: DataFrame, k: Int): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < k).select(
-      col("vec_id").as("c_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+  private def quantized(e: DataFrame): DataFrame =
+    e.withColumn("qemb", expr("transform(emb, v -> ROUND(v, 3))"))
+      .withColumn("qd", expr("transform(qemb, v -> CAST(v AS DECIMAL(10,3)))"))
+
+  /** Nearest `nprobe` centroids per vector. Ranking score is
+    * `dot(qemb, c_emb) / c_nrm` — the query's own norm is constant per
+    * vector, so dropping it is rank-equivalent cosine. Centroids
+    * broadcast (k rows): a narrow N×k pass, no shuffle.
+    */
+  private def assignCells(vecs: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    embeddings.join(broadcast(cents))
-      .withColumn("c_cos",
-        dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .orderBy(col("__score").desc, col("c_id"))
+    vecs.join(broadcast(cents))
+      .withColumn("__score", dot(col("qemb"), col("c_emb")) / col("c_nrm"))
       .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("c_id").as("cell"))
+      .filter(col("__rk") <= nprobe)
+      .withColumnRenamed("c_id", "cell")
+      .drop("__score", "__rk", "c_emb", "c_nrm")
   }
 
-  /** IVF-flat ANN top-k: search only within the query's cell (nprobe=1).
-    * Pair space shrinks from N² to Σ|cell|² — the coarse-quantizer
-    * analogue of [[annLshKnn]]'s hyperplane buckets.
+  /** IVF coarse quantizer: `k` seed centroids (lowest vec_ids) refined by
+    * `iters` Lloyd rounds. Each round is one broadcast assignment pass
+    * plus one (cell, dim)-keyed aggregation — both hash-partitionable;
+    * nothing driver-side, so the same plan runs at corpus scale. Means
+    * are computed over the DECIMAL quantized values (exact, order-free)
+    * and divided back in double (IEEE-exact given an exact numerator).
     */
-  def ivfKnn(embeddings: DataFrame, nCells: Int, k: Int): DataFrame = {
-    val a = ivfAssign(embeddings, nCells)
+  def ivfCentroids(q: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = q.filter(col("vec_id") < k).select(
+      col("vec_id").as("c_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    for (_ <- 1 to iters) {
+      val dims = assignCells(q, cents, nprobe = 1)
+        .select(col("cell"), posexplode(col("qd")).as(Seq("pos", "qv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("qv")).cast("double") / count(lit(1))).as("cv"))
+      cents = dims.groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+          .as("c_emb"))
+        .select(col("cell").as("c_id"), col("c_emb"),
+          sqrt(dot(col("c_emb"), col("c_emb"))).as("c_nrm"))
+        // k tiny rows, but the PLAN matters: without truncation each round
+        // nests the previous round's full lineage, and the final knn
+        // re-executes the whole chain once per assignment pass.
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** IVF-flat ANN top-k: corpus vectors live in their nearest cell;
+    * each query probes its `nprobe` nearest cells and pays exact cosine
+    * only inside them. Pair space shrinks from N² to ~nprobe·Σ|cell|² —
+    * the coarse-quantizer analogue of [[annLshKnn]]'s hyperplane
+    * buckets. `iters = 0` reproduces pure seed centroids.
+    */
+  def ivfKnn(embeddings: DataFrame, nCells: Int, k: Int,
+      iters: Int = 0, nprobe: Int = 1): DataFrame = {
+    val q = quantized(embeddings)
+    val cents = ivfCentroids(q, nCells, iters)
+    val corpus = assignCells(q, cents, nprobe = 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+    val queries = assignCells(q, cents, nprobe)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
     topK(
-      a.as("q")
-        .join(a.as("c"), col("q.cell") === col("c.cell") &&
+      queries.as("q")
+        .join(corpus.as("c"), col("q.cell") === col("c.cell") &&
           col("q.vec_id") =!= col("c.vec_id"))
         .select(
           col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),

@@ -280,11 +280,12 @@ object Extensions {
         .orderBy(col("user_id"))
     },
 
-    // IVF-flat ANN: 16 seeded centroid cells, top-3 within own cell
-    // (nprobe=1). The coarse-quantizer counterpart of q_embed_ann_lsh.
+    // IVF-flat ANN: 16 cells refined by 2 Lloyd rounds (exact decimal
+    // means — deterministic and oracle-replayable), queries probe their
+    // 2 nearest cells, top-3 by exact cosine within probed cells.
     "q_embed_ivf" -> { (s, dir) =>
       Similarity.ivfKnn(Similarity.withNorm(t(s, dir, "embeddings")),
-        nCells = 16, k = 3)
+        nCells = 16, k = 3, iters = 2, nprobe = 2)
     },
 
     // Multimodal metadata decode over binary payloads (stub decoder —
@@ -499,22 +500,59 @@ object Extensions {
         |SELECT user_id, COUNT(*) AS n_purchases_in_window
         |FROM p JOIN iv ON start_us <= p_us AND p_us < end_us
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Replays ivfKnn(nCells=16, iters=2, nprobe=2) bit-for-bit: the Lloyd
+    // means aggregate DECIMAL(10,3) quantized values (exact in any order),
+    // every dot product is the same left-to-right fold in both engines.
     "q_embed_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
         |      CAST(embedding AS DOUBLE[]))) AS nrm
         |  FROM embeddings),
-        |cents AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm
+        |q AS (SELECT vec_id, emb, nrm,
+        |    list_transform(emb, v -> ROUND(v, 3)) AS qemb,
+        |    list_transform(emb, v -> CAST(ROUND(v, 3) AS DECIMAL(10,3))) AS qd
+        |  FROM e),
+        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm
         |  FROM e WHERE vec_id < 16),
-        |asg AS (SELECT vec_id, emb, nrm, c_id AS cell FROM (
-        |  SELECT v.vec_id, v.emb, v.nrm, c.c_id,
+        |a1 AS (SELECT vec_id, qd, cell FROM (
+        |  SELECT v.vec_id, v.qd, c.c_id AS cell,
         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-        |      list_inner_product(v.emb, c.c_emb) / (v.nrm * c.c_nrm) DESC,
-        |      c.c_id) AS rk
-        |  FROM e v CROSS JOIN cents c) x WHERE rk = 1),
-        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_inner_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
-        |  FROM asg q JOIN asg c ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+        |      list_inner_product(v.qemb, c.c_emb) / c.c_nrm DESC, c.c_id) AS rk
+        |  FROM q v CROSS JOIN c0 c) x WHERE rk = 1),
+        |d1 AS (SELECT cell, pos, CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS cv FROM (
+        |  SELECT cell, generate_subscripts(qd, 1) AS pos, unnest(qd) AS qv
+        |  FROM a1) u GROUP BY cell, pos),
+        |c1 AS (SELECT cell AS c_id, LIST(cv ORDER BY pos) AS c_emb,
+        |    SQRT(list_inner_product(LIST(cv ORDER BY pos),
+        |      LIST(cv ORDER BY pos))) AS c_nrm
+        |  FROM d1 GROUP BY cell),
+        |a2 AS (SELECT vec_id, qd, cell FROM (
+        |  SELECT v.vec_id, v.qd, c.c_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_inner_product(v.qemb, c.c_emb) / c.c_nrm DESC, c.c_id) AS rk
+        |  FROM q v CROSS JOIN c1 c) x WHERE rk = 1),
+        |d2 AS (SELECT cell, pos, CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS cv FROM (
+        |  SELECT cell, generate_subscripts(qd, 1) AS pos, unnest(qd) AS qv
+        |  FROM a2) u GROUP BY cell, pos),
+        |c2 AS (SELECT cell AS c_id, LIST(cv ORDER BY pos) AS c_emb,
+        |    SQRT(list_inner_product(LIST(cv ORDER BY pos),
+        |      LIST(cv ORDER BY pos))) AS c_nrm
+        |  FROM d2 GROUP BY cell),
+        |ca AS (SELECT vec_id, cell FROM (
+        |  SELECT v.vec_id, c.c_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_inner_product(v.qemb, c.c_emb) / c.c_nrm DESC, c.c_id) AS rk
+        |  FROM q v CROSS JOIN c2 c) x WHERE rk = 1),
+        |qa AS (SELECT vec_id, cell FROM (
+        |  SELECT v.vec_id, c.c_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_inner_product(v.qemb, c.c_emb) / c.c_nrm DESC, c.c_id) AS rk
+        |  FROM q v CROSS JOIN c2 c) x WHERE rk <= 2),
+        |p AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+        |    list_inner_product(eq.emb, ec.emb) / (eq.nrm * ec.nrm) AS cos
+        |  FROM qa qq JOIN ca cc ON qq.cell = cc.cell AND qq.vec_id <> cc.vec_id
+        |  JOIN e eq ON eq.vec_id = qq.vec_id
+        |  JOIN e ec ON ec.vec_id = cc.vec_id)
         |SELECT query_id, neighbor_id, cos, rk FROM (
         |  SELECT query_id, neighbor_id, cos,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id

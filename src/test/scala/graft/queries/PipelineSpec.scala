@@ -123,4 +123,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(buckets(1L) === buckets(2L))
     assert(buckets(1L) !== buckets(3L))
   }
+
+  test("IVF: Lloyd rounds + nprobe=2 improve recall@3 over raw seeds (sf0.01)") {
+    val e = Similarity.withNorm(
+      spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"))
+    val exact = Similarity.bruteForceKnn(e, e, k = 3)
+      .select("query_id", "neighbor_id")
+    val nExact = exact.count().toDouble
+    def recall(ann: org.apache.spark.sql.DataFrame): Double =
+      ann.select("query_id", "neighbor_id").intersect(exact).count() / nExact
+    val seeds = recall(Similarity.ivfKnn(e, nCells = 16, k = 3))
+    val refined = recall(
+      Similarity.ivfKnn(e, nCells = 16, k = 3, iters = 2, nprobe = 2))
+    info(f"recall@3 seeds=$seeds%.3f refined=$refined%.3f")
+    assert(refined > seeds,
+      s"k-means + nprobe=2 should beat seed cells: $refined vs $seeds")
+    // ~0.40 on this corpus (vs 0.22 for seeds): near-uniform 64-dim
+    // vectors are the hard case for coarse quantizers — the floor guards
+    // regressions, not a target.
+    assert(refined >= 0.35, s"refined recall@3 unexpectedly low: $refined")
+  }
 }
