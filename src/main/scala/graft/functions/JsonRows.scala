@@ -3,7 +3,7 @@ package graft.functions
 import java.sql.{Date, Timestamp}
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.{col, date_format}
+import org.apache.spark.sql.functions.{col, concat, date_format, lit, substring, when}
 import org.apache.spark.sql.types._
 
 /** Row-oriented JSON egress (reference `dataframe_to_json_rows`,
@@ -25,6 +25,13 @@ object JsonRows {
 
   /** Pre-cast non-primitive columns to string, matching the reference's
     * Display-stringification: dates render "2024-01-03" (main.rs:245).
+    *
+    * Datetime parity: polars' Display fallback (main.rs:244-245) delegates
+    * to chrono's `NaiveDateTime` Display, which prints the fractional
+    * second only when non-zero and with the coarsest of 3/6/9 digits that
+    * loses nothing — `10:00:05`, `10:00:05.123`, `10:00:05.123456`.
+    * Spark timestamps are micros, so 9-digit output is unreachable;
+    * the other three shapes are replicated exactly (golden-tested).
     */
   def stringifyNonPrimitives(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
@@ -32,7 +39,13 @@ object JsonRows {
         case _ if isPrimitive(f.dataType) => col(f.name)
         case DateType => date_format(col(f.name), "yyyy-MM-dd").as(f.name)
         case TimestampType | TimestampNTZType =>
-          date_format(col(f.name), "yyyy-MM-dd HH:mm:ss.SSSSSS").as(f.name)
+          val micros = date_format(col(f.name), "SSSSSS")
+          concat(
+            date_format(col(f.name), "yyyy-MM-dd HH:mm:ss"),
+            when(micros === "000000", lit(""))
+              .when(substring(micros, 4, 3) === "000",
+                concat(lit("."), substring(micros, 1, 3)))
+              .otherwise(concat(lit("."), micros))).as(f.name)
         case _ => col(f.name).cast(StringType).as(f.name)
       }
     }

@@ -10,6 +10,24 @@ class JsonRowsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("timestamp Display parity: golden fixtures (chrono NaiveDateTime)") {
+    // polars' stringify fallback (main.rs:244-245) is chrono Display:
+    // no fraction when zero, 3 digits when millisecond-aligned, 6 for
+    // full micros. Golden-pinned here; 9-digit (nanos) is unreachable
+    // from Spark's micros timestamps.
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:05")),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:05.123")),
+      (3L, Timestamp.valueOf("2024-01-01 10:00:05.123456")),
+      (4L, Timestamp.valueOf("2024-01-01 10:00:05.5"))
+    ).toDF("id", "ts")
+    assert(JsonRows.toJson(df) ===
+      """[{"id":1,"ts":"2024-01-01 10:00:05"},""" +
+        """{"id":2,"ts":"2024-01-01 10:00:05.123"},""" +
+        """{"id":3,"ts":"2024-01-01 10:00:05.123456"},""" +
+        """{"id":4,"ts":"2024-01-01 10:00:05.500"}]""")
+  }
+
   test("primitives pass through; null → JSON null (main.rs:223-242)") {
     val df = Seq((1L, 2.5, true, "hi"), (2L, 3.5, false, null))
       .toDF("n", "d", "b", "s")
