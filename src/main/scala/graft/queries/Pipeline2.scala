@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions.{md5fast => md5f}
+import Qs._
+
+/** Second batch of training-data pipeline operators: sparse lexical
+  * similarity (TF-IDF ranking, count-vector cosine), corpus quality
+  * signals (Gopher-style repetition/composition filters), and stratified
+  * sampling.
+  *
+  * Oracle-exactness design: every aggregate that crosses a shuffle is
+  * INTEGER (term counts, squared norms, dot products of counts), so
+  * results are order-independent and the DuckDB twin matches bit-for-bit.
+  * The only floats are derived per-row from already-exact integers
+  * (ratios, sqrt), where IEEE correct rounding makes both engines agree;
+  * TF-IDF's `ln` is used for ORDERING only and never emitted — the two
+  * engines' libm may differ in the last ulp, but equal (tf, df) pairs get
+  * equal scores within each engine, and distinct pairs are never within
+  * an ulp on real corpora.
+  *
+  * Scale notes (100 TB):
+  *  - the term-pair join in [[q_doc_sim_cosine]] runs over a DF-pruned
+  *    vocabulary (df ≤ 50): stopword-grade terms are the quadratic hot
+  *    spot of sparse similarity, same escape hatch as the shingle DF cap
+  *    in Dedup; norms use the same pruned space, so cosine is exact
+  *    within it (identical docs score 1);
+  *  - stratified sampling is one window per stratum — a single shuffle
+  *    keyed on the stratum, the distributed reservoir-sample shape;
+  *  - everything else is groupBy/window over hash-partitionable keys.
+  */
+object Pipeline2 {
+
+  /** doc_id, term, tf for whitespace tokens. Materialized once
+    * (localCheckpoint): every consumer fans out into 2-4 aggregations
+    * and joins over it, and an unmaterialized plan would re-run the
+    * explode+groupBy per branch.
+    */
+  private def termFreq(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+
+  val queries: Map[String, Q] = Map(
+    // Top-3 TF-IDF terms per document. Integer outputs; ln used only to
+    // rank (see scaladoc). N comes from a broadcast 1-row aggregate —
+    // no driver-side count.
+    "q_tfidf_topterms" -> { (s, dir) =>
+      val tf = termFreq(s, dir)
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(
+        (col("tf") * log((col("n") + lit(1)).cast("double") /
+          (col("df") + lit(1)).cast("double"))).desc,
+        col("term"))
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // Count-vector cosine similarity pairs >= 0.5 via sparse term
+    // equi-join over the DF-pruned vocabulary (df ≤ 50 — corpus-frequent
+    // terms carry no signal and are the quadratic hot spot; norms use the
+    // SAME pruned space, so identical docs score exactly 1). The integer
+    // threshold test (num² ≥ ¼·na·nb) decides membership exactly; the
+    // emitted cosine is derived from the same exact integers.
+    "q_doc_sim_cosine" -> { (s, dir) =>
+      val tf = termFreq(s, dir)
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val rare = tf.join(dfreq.filter(col("df") <= 50), Seq("term"))
+      val nsq = rare.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nsq"))
+      val num = rare.as("a")
+        .join(rare.as("b"), col("a.term") === col("b.term") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(sum(col("a.tf") * col("b.tf")).as("num"))
+      num
+        .join(nsq.as("za"), col("a_id") === col("za.doc_id"))
+        .join(nsq.as("zb"), col("b_id") === col("zb.doc_id"))
+        .select(col("a_id"), col("b_id"), col("num"),
+          col("za.nsq").as("nsq_a"), col("zb.nsq").as("nsq_b"),
+          (col("num").cast("double") /
+            (sqrt(col("za.nsq").cast("double")) *
+              sqrt(col("zb.nsq").cast("double")))).as("cos"))
+        .filter(col("num") * col("num") * 4 >= col("nsq_a") * col("nsq_b"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Gopher-style quality signals: composition ratios and the top-bigram
+    // repetition fraction, plus the resulting keep/drop decision. All
+    // comparisons run on exact integer-derived values.
+    "q_quality_signals" -> { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val bigrams = when(size(ws) >= 2,
+        expr("transform(sequence(0, size(split(text, ' '))-2), " +
+          "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1]))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+      val top2 = t(s, dir, "documents")
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+      val stops = "('the','a','of','and','is','to','in')"
+      val base = t(s, dir, "documents").select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        expr(s"CAST(size(filter(split(text, ' '), w -> w IN $stops)) AS BIGINT)")
+          .as("n_stop"),
+        expr("CAST(aggregate(transform(split(text, ' '), w -> length(w)), 0, " +
+          "(acc, x) -> acc + x) AS BIGINT)").as("sum_wlen"),
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_symbols"),
+        length(col("text")).cast("long").as("n_chars"))
+      base.join(top2, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_words"), col("n_stop"),
+          (col("sum_wlen").cast("double") / col("n_words")).as("mean_wlen"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+          (coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+            greatest(col("n_words") - 1, lit(1L))).as("top_bigram_frac"),
+          (col("n_symbols").cast("double") / col("n_chars")).as("symbol_ratio"),
+          // Gopher-ish gate: enough words, some stopwords, sane word
+          // length, bounded repetition. Integer cross-multiplied forms.
+          (col("n_words") >= 10 && col("n_stop") * 100 >= col("n_words") &&
+            col("sum_wlen") >= col("n_words") * 2 &&
+            col("sum_wlen") <= col("n_words") * 12 &&
+            coalesce(col("top_bigram_n"), lit(0L)) * 5 <=
+              greatest(col("n_words") - 1, lit(1L))).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Stratified sample: exactly min(|stratum|, 20) docs per language,
+    // picked by md5 order — deterministic, replayable, one shuffle.
+    "q_sample_stratified" -> { (s, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5f(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, rk, term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY
+        |      tf.tf * LN((n.n + 1) / CAST(dfreq.df + 1 AS DOUBLE)) DESC,
+        |      tf.term) AS BIGINT) AS rk
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n) x
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_doc_sim_cosine" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |rare AS (SELECT tf.* FROM tf JOIN dfreq USING (term) WHERE dfreq.df <= 50),
+        |nsq AS (SELECT doc_id, SUM(tf * tf) AS nsq FROM rare GROUP BY doc_id),
+        |num AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    SUM(a.tf * b.tf) AS num
+        |  FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, CAST(num AS BIGINT) AS num,
+        |  CAST(za.nsq AS BIGINT) AS nsq_a, CAST(zb.nsq AS BIGINT) AS nsq_b,
+        |  CAST(num AS DOUBLE) /
+        |    (SQRT(CAST(za.nsq AS DOUBLE)) * SQRT(CAST(zb.nsq AS DOUBLE))) AS cos
+        |FROM num JOIN nsq za ON a_id = za.doc_id JOIN nsq zb ON b_id = zb.doc_id
+        |WHERE num * num * 4 >= za.nsq * zb.nsq
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_quality_signals" ->
+      """WITH bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents) w,
+        |  UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 1, 0))) AS t(i)),
+        |top2 AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+        |  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg) x
+        |  GROUP BY doc_id),
+        |base AS (SELECT doc_id,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |    w -> w IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+        |    w -> LENGTH(w))) AS BIGINT) AS sum_wlen,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z0-9 ]')) AS BIGINT) AS n_symbols,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT base.doc_id, n_words, n_stop,
+        |  CAST(sum_wlen AS DOUBLE) / n_words AS mean_wlen,
+        |  COALESCE(top_bigram_n, 0) AS top_bigram_n,
+        |  CAST(COALESCE(top_bigram_n, 0) AS DOUBLE)
+        |    / GREATEST(n_words - 1, 1) AS top_bigram_frac,
+        |  CAST(n_symbols AS DOUBLE) / n_chars AS symbol_ratio,
+        |  (n_words >= 10 AND n_stop * 100 >= n_words
+        |    AND sum_wlen >= n_words * 2 AND sum_wlen <= n_words * 12
+        |    AND COALESCE(top_bigram_n, 0) * 5 <= GREATEST(n_words - 1, 1)) AS keep
+        |FROM base LEFT JOIN top2 ON base.doc_id = top2.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents) x
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)
+}
