@@ -85,6 +85,32 @@ object Extensions {
         .orderBy(col("event_id"))
     },
 
+    // Staged conversion funnel: view → click (at or after the user's
+    // first view) → purchase (at or after that click). Three grouped
+    // passes, each one hash-shuffle on user_id; stage timestamps are
+    // MINs so the result is deterministic.
+    "q_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val tv = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"))
+      val tc = ev.join(tv, Seq("user_id"))
+        .groupBy(col("user_id"), col("tv"))
+        .agg(min(when(col("event_type") === "click" && col("ts") >= col("tv"),
+          col("ts"))).as("tc"))
+      val tp = ev.join(tc, Seq("user_id"))
+        .groupBy(col("user_id"), col("tv"), col("tc"))
+        .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("tc"),
+          col("ts"))).as("tp"))
+      tp.agg(
+          count(col("tv")).as("n_view"),
+          count(col("tc")).as("n_view_click"),
+          count(col("tp")).as("n_view_click_purchase"))
+        .select(
+          expr("stack(3, 'view', n_view, 'view_click', n_view_click, " +
+            "'view_click_purchase', n_view_click_purchase) AS (stage, n_users)"))
+        .orderBy(col("stage"))
+    },
+
     // Tumbling event-time window aggregation in batch (same semantics a
     // Structured Streaming job would produce after watermark close).
     "q_events_window" -> { (s, dir) =>
@@ -350,6 +376,28 @@ object Extensions {
         |    (e.ts > p.ts) ASC, e.event_id DESC LIMIT 1
         |) c ON TRUE
         |ORDER BY p.event_id""".stripMargin,
+    "q_funnel" ->
+      """WITH tv AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv
+        |  FROM events GROUP BY user_id),
+        |tc AS (SELECT e.user_id, tv.tv,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= tv.tv
+        |      THEN e.ts END) AS tc
+        |  FROM events e JOIN tv ON e.user_id = tv.user_id
+        |  GROUP BY e.user_id, tv.tv),
+        |tp AS (SELECT e.user_id, tc.tv, tc.tc,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= tc.tc
+        |      THEN e.ts END) AS tp
+        |  FROM events e JOIN tc ON e.user_id = tc.user_id
+        |  GROUP BY e.user_id, tc.tv, tc.tc),
+        |agg AS (SELECT COUNT(tv) AS n_view, COUNT(tc) AS n_view_click,
+        |    COUNT(tp) AS n_view_click_purchase
+        |  FROM tp)
+        |SELECT stage, n_users FROM (
+        |  SELECT 'view' AS stage, n_view AS n_users FROM agg UNION ALL
+        |  SELECT 'view_click', n_view_click FROM agg UNION ALL
+        |  SELECT 'view_click_purchase', n_view_click_purchase FROM agg) s
+        |ORDER BY stage""".stripMargin,
     "q_events_window" ->
       s"""SELECT ${tsSqlS("time_bucket(INTERVAL 1 HOUR, ts)")} AS window_start,
         |  event_type, COUNT(*) AS n,

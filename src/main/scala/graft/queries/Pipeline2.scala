@@ -135,6 +135,18 @@ object Pipeline2 {
         .orderBy(col("doc_id"))
     },
 
+    // Token-length histogram: fixed-width (10-word) buckets with exact
+    // shares — corpus shape at a glance, two-phase agg + one tiny window.
+    "q_token_histogram" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(expr("CAST(size(split(text, ' ')) DIV 10 AS BIGINT) * 10")
+          .as("bucket_lo"))
+        .groupBy(col("bucket_lo")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          col("n_docs").cast("double") / sum(col("n_docs")).over(Window.partitionBy()))
+        .orderBy(col("bucket_lo"))
+    },
+
     // Stratified sample: exactly min(|stratum|, 20) docs per language,
     // picked by md5 order — deterministic, replayable, one shuffle.
     "q_sample_stratified" -> { (s, dir) =>
@@ -206,6 +218,12 @@ object Pipeline2 {
         |    AND COALESCE(top_bigram_n, 0) * 5 <= GREATEST(n_words - 1, 1)) AS keep
         |FROM base LEFT JOIN top2 ON base.doc_id = top2.doc_id
         |ORDER BY base.doc_id""".stripMargin,
+    "q_token_histogram" ->
+      """WITH b AS (SELECT (LEN(STRING_SPLIT(text, ' ')) // 10) * 10 AS bucket_lo
+        |  FROM documents)
+        |SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo, COUNT(*) AS n_docs,
+        |  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+        |FROM b GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin,
     "q_sample_stratified" ->
       """SELECT lang, rk, doc_id FROM (
         |  SELECT lang, doc_id,

@@ -1,54 +1,65 @@
 package graft.sources
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** Round-trip coverage for the reference's compiled-in formats
-  * (SURVEY.md §2 capability table: csv, json, parquet, serde).
-  */
 class SinksSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private lazy val df = Seq(
-    (1L, "a", 1.5), (2L, "b", 2.5), (3L, "c,with,commas", -0.25)
-  ).toDF("id", "s", "v")
+  private def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
 
-  private def roundtrip(fmt: String): Unit = {
-    val dir = Files.createTempDirectory(s"sink_$fmt").toString + "/out"
-    df.write.format(fmt).option("header", "true").save(dir)
-    val back = spark.read.format(fmt)
-      .option("header", "true").option("inferSchema", "true").load(dir)
-    assert(back.count() === 3)
-    assert(back.columns.sorted === df.columns.sorted)
-    val vals = back.select("id", "s", "v").as[(Long, String, Double)].collect().toSet
-    assert(vals === df.as[(Long, String, Double)].collect().toSet)
+  private lazy val docs = Seq(
+    (1L, "en", "hello world"),
+    (2L, "en", "more text"),
+    (3L, "de", "hallo welt"),
+    (4L, "fr", "bonjour")
+  ).toDF("doc_id", "lang", "text")
+
+  test("partitioned parquet: hive directory layout, lossless round-trip") {
+    val out = s"${tempDir("sink")}/docs"
+    Sinks.writeParquet(docs, out, partitionBy = Seq("lang"))
+    for (lang <- Seq("en", "de", "fr"))
+      assert(Files.isDirectory(Paths.get(out, s"lang=$lang")), s"lang=$lang dir")
+    val back = spark.read.parquet(out)
+    assert(back.count() === 4)
+    assert(back.select("doc_id", "lang", "text").except(docs).count() === 0)
   }
 
-  test("parquet round-trip")(roundtrip("parquet"))
-  test("csv round-trip with quoting")(roundtrip("csv"))
-  test("json lines round-trip")(roundtrip("json"))
-  test("orc round-trip")(roundtrip("orc"))
-
-  test("partitioned parquet write prunes partitions on read") {
-    val dir = Files.createTempDirectory("sink_part").toString + "/out"
-    val part = (1 to 100).map(i => (i.toLong, s"g${i % 5}", i * 1.5))
-      .toDF("id", "grp", "v")
-    part.write.partitionBy("grp").parquet(dir)
-    val back = spark.read.parquet(dir).filter($"grp" === "g3")
-    assert(back.count() === 20)
-    // The filter must become a PartitionFilter (pruned at planning — at
-    // scale this is the difference between reading 1/5th and all of it).
-    val scan = back.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters: [isnotnull(grp"), scan)
+  test("partition column filter prunes to matching directories only") {
+    val out = s"${tempDir("sink")}/docs"
+    Sinks.writeParquet(docs, out, partitionBy = Seq("lang"))
+    val q = spark.read.parquet(out).filter($"lang" === "en")
+    assert(q.count() === 2)
+    // The scan must carry the partition filter (directory pruning), and
+    // the files actually read must all come from the lang=en directory.
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"), scan)
+    val read = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!read.contains("lang=de") && !read.contains("lang=fr"), read)
   }
 
-  test("json egress via to_json matches schema") {
-    import org.apache.spark.sql.functions._
-    val j = df.select(to_json(struct(col("id"), col("s")))).as[String].head()
-    assert(j === """{"id":1,"s":"a"}""")
+  test("csv sink writes a header and round-trips with inference") {
+    val out = s"${tempDir("sink")}/csv"
+    Sinks.writeCsv(docs.select($"doc_id", $"text"), out)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+    assert(back.columns.toSeq === Seq("doc_id", "text"))
+    assert(back.count() === 4)
+  }
+
+  test("jsonl sink writes one JSON object per row") {
+    val out = s"${tempDir("sink")}/jsonl"
+    Sinks.writeJsonl(docs, out)
+    val back = spark.read.json(out)
+    assert(back.count() === 4)
+    // raw files are line-delimited objects
+    val lines = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".json"))
+      .flatMap(p => scala.io.Source.fromFile(p).getLines().toSeq)
+    assert(lines.nonEmpty && lines.forall(l => l.startsWith("{") && l.endsWith("}")))
   }
 }
