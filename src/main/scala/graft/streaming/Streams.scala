@@ -90,6 +90,28 @@ object Streams {
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
   }
 
+  /** Streaming ingestion into the partitioned lake: each micro-batch
+    * appends to a hive-partitioned parquet layout via [[graft.sources.Sinks]].
+    * `foreachBatch` is the right tool when the sink needs batch-writer
+    * features (partitionBy, dynamic overwrite) the streaming file sink
+    * lacks; Spark guarantees at-least-once per batch id, and parquet
+    * appends of identical batches are idempotent enough for a dedup-on-
+    * read lake (or use the batchId to skip replays).
+    *
+    * Returns the started query; callers own awaitTermination/stop.
+    */
+  def streamToLake(events: DataFrame, path: String,
+      partitionBy: Seq[String] = Seq("event_type"),
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sinks.writeParquet(
+          batch.toDF(), path, partitionBy, org.apache.spark.sql.SaveMode.Append)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, n: Long, total: Double)
   final case class UserSession(

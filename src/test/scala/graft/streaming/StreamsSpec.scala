@@ -51,6 +51,27 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamToLake ingests a stream into a partitioned parquet lake") {
+    val src = Files.createTempDirectory("events3").toString
+    val lake = s"${Files.createTempDirectory("lake3")}/events"
+    val ckpt = Files.createTempDirectory("ckpt3").toString
+    Seq(
+      (1L, 60_000_000_000L, 10L, "click", 1.0, "{}"),
+      (2L, 61_000_000_000L, 10L, "view", 2.0, "{}"),
+      (3L, 62_000_000_000L, 11L, "click", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(src)
+
+    val q = Streams.streamToLake(Streams.eventsStream(spark, src), lake,
+      partitionBy = Seq("event_type"), checkpoint = ckpt)
+    try q.awaitTermination() finally q.stop() // AvailableNow: ends at source end
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(lake, "event_type=click")))
+    val back = spark.read.parquet(lake)
+    assert(back.count() === 3)
+    assert(back.filter($"event_type" === "click").count() === 2)
+  }
+
   test("sessionize closes sessions on inactivity gaps (custom state)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Streams.SessionEvent]
