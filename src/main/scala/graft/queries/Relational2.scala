@@ -4,10 +4,19 @@ import org.apache.spark.sql.functions._
 
 import Qs._
 
-/** Second relational batch: outer/cross join family, pivot, union-all,
-  * approximate sketches, exists-style correlated filters.
+/** Second relational batch: outer/cross join family, pivot/unpivot,
+  * union-all, approximate sketches, exists-style correlated filters,
+  * calendar gap-fill.
   */
 object Relational2 {
+
+  /** One row per day of 1995 (a `sequence`-exploded calendar). */
+  private def spark_grid(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(1).toDF("one").select(explode(expr(
+      "sequence(to_date('1995-01-01'), to_date('1995-12-31'), interval 1 day)"))
+      .as("day")).drop("one")
+  }
 
   val queries: Map[String, Q] = Map(
     // Left outer: every customer, orders aggregated where present.
@@ -82,6 +91,46 @@ object Relational2 {
         .orderBy(col("l_returnflag"))
     },
 
+    // Unpivot/melt (pivot's inverse): wide per-line measures → long
+    // (metric, value) rows. Values pass through unchanged — no float
+    // arithmetic, so the hash compare is exact. Narrow op: no shuffle,
+    // output is a projection explosion handled by codegen.
+    "q_unpivot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    },
+
+    // Time-series gap-fill: every (nation × day of 1995) row exists even
+    // when no orders landed — generate the calendar with `sequence`,
+    // left-join the daily aggregate, zero-fill. The calendar side is
+    // O(keys × days) regardless of fact size, and the only shuffle is
+    // the daily aggregation keyed on (nation, day).
+    "q_gapfill" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val daily = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"), to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 14, 2).as("revenue"))
+      val days = t(s, dir, "customer").select(col("c_nationkey")).distinct()
+        .crossJoin(spark_grid(s))
+      days.join(daily,
+          days("c_nationkey") === daily("nk") && days("day") === daily("day"), "left")
+        .select(
+          days("c_nationkey").as("nation_key"),
+          date_format(days("day"), "yyyy-MM-dd").as("day_s"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy(col("nation_key"), col("day_s"))
+    },
+
     // Correlated EXISTS as a row filter (not just counts): orders from
     // customers in a named market segment.
     "q_exists_filter" -> { (s, dir) =>
@@ -133,6 +182,30 @@ object Relational2 {
         |UNION ALL
         |SELECT 'big' AS tag, o_orderkey FROM orders WHERE o_totalprice > 200000
         |ORDER BY tag, o_orderkey""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |    l_discount, l_tax FROM lineitem WHERE l_orderkey <= 100) w
+        |UNPIVOT (value FOR metric IN
+        |  (l_quantity, l_extendedprice, l_discount, l_tax))
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "q_gapfill" ->
+      """WITH cal AS (SELECT UNNEST(GENERATE_SERIES(DATE '1995-01-01',
+        |    DATE '1995-12-31', INTERVAL 1 DAY))::DATE AS day),
+        |nk AS (SELECT DISTINCT c_nationkey FROM customer),
+        |daily AS (SELECT c.c_nationkey AS nk, CAST(o.o_orderdate AS DATE) AS day,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
+        |  GROUP BY 1, 2)
+        |SELECT nk.c_nationkey AS nation_key,
+        |  strftime(cal.day, '%Y-%m-%d') AS day_s,
+        |  COALESCE(daily.n, 0) AS n_orders,
+        |  COALESCE(daily.revenue, 0.0) AS revenue
+        |FROM nk CROSS JOIN cal
+        |LEFT JOIN daily ON nk.c_nationkey = daily.nk AND cal.day = daily.day
+        |ORDER BY nation_key, day_s""".stripMargin,
     "q_exists_filter" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue

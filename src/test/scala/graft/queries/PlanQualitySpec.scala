@@ -69,4 +69,50 @@ class PlanQualitySpec extends AnyFunSuite {
     // Partial+Final: each partition keeps k rows before the shuffle.
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q_doc_sim_cosine: candidate generation is equi-join only, no cartesian") {
+    val p = plan("q_doc_sim_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_tfidf_topterms: corpus-size side broadcasts; per-doc top-k is WindowGroupLimit") {
+    val df = SparkEntry.queries("q_tfidf_topterms")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the 1-row count must broadcast (never shuffle the term table against it)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_sample_stratified: single shuffle keyed on the stratum") {
+    val df = SparkEntry.queries("q_sample_stratified")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // one hash exchange for the window partitioning + the final orderBy's
+    // range exchange — nothing else
+    assert(p.split("Exchange hash|Exchange range").length <= 3, p)
+    // the partial WindowGroupLimit keeps ≤20 rows per partition BEFORE
+    // the shuffle — the reservoir-sample shape at scale
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
+  test("q_gapfill: calendar side stays tiny, daily agg is partial+final") {
+    val p = plan("q_gapfill")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.split("HashAggregate").length >= 3, p)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "calendar cross join must broadcast, not shuffle-cartesian\n" + p)
+  }
+
+  test("q_asof_join and variants plan with no join node (union+window sweep)") {
+    for (q <- Seq("q_asof_join", "q_asof_tolerance", "q_asof_forward", "q_asof_nearest")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q should be join-free\n$p")
+      assert(p.contains("Window"), s"$q should sweep via window\n$p")
+    }
+  }
 }
