@@ -65,6 +65,50 @@ object Pipeline2 {
         .orderBy(col("doc_id"), col("rk"))
     },
 
+    // BM25 retrieval for a fixed 3-term query (k1=1.2, b=0.75): top-20
+    // docs by the summed per-term score. Like TF-IDF above, the float
+    // score only ORDERS — egress is integer (rank, per-term tf, dl), so
+    // the oracle hash-matches despite libm ulp differences.
+    "q_bm25" -> { (s, dir) =>
+      val terms = Seq("spark", "query", "stream")
+      val tf = termFreq(s, dir).filter(col("term").isin(terms: _*))
+      val dl = t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val perTerm = tf.join(dfreq, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+      // idf(t)·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), avgdl = sum_dl/n
+      val score = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * col("dl") * col("n") / col("sum_dl")))
+      // Per-term scores pivot into fixed columns and add LEFT-TO-RIGHT:
+      // a bare sum(score) would add the ≤3 term scores in shuffle order,
+      // which is nondeterministic for doubles.
+      val scored = perTerm
+        .groupBy(col("doc_id"), col("dl"))
+        .agg(
+          sum(when(col("term") === "spark", score)).as("s1"),
+          sum(when(col("term") === "query", score)).as("s2"),
+          sum(when(col("term") === "stream", score)).as("s3"),
+          sum(when(col("term") === "spark", col("tf"))).as("tf_spark"),
+          sum(when(col("term") === "query", col("tf"))).as("tf_query"),
+          sum(when(col("term") === "stream", col("tf"))).as("tf_stream"))
+        .withColumn("s", coalesce(col("s1"), lit(0.0)) +
+          coalesce(col("s2"), lit(0.0)) + coalesce(col("s3"), lit(0.0)))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy().orderBy(col("s").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("rk"), col("doc_id"), col("dl"),
+          coalesce(col("tf_spark"), lit(0L)).as("tf_spark"),
+          coalesce(col("tf_query"), lit(0L)).as("tf_query"),
+          coalesce(col("tf_stream"), lit(0L)).as("tf_stream"))
+        .orderBy(col("rk"))
+    },
+
     // Count-vector cosine similarity pairs >= 0.5 via sparse term
     // equi-join over the DF-pruned vocabulary (df ≤ 50 — corpus-frequent
     // terms carry no signal and are the quadratic hot spot; norms use the
@@ -97,22 +141,26 @@ object Pipeline2 {
     // repetition fraction, plus the resulting keep/drop decision. All
     // comparisons run on exact integer-derived values.
     "q_quality_signals" -> { (s, dir) =>
-      val ws = split(col("text"), " ")
-      val bigrams = when(size(ws) >= 2,
-        expr("transform(sequence(0, size(split(text, ' '))-2), " +
-          "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1]))"))
+      // `ws` is materialized as a column first: the lambda expressions
+      // below are not common-subexpression-eliminated across projections,
+      // so inlining `split` would re-tokenize per signal.
+      val withWs = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+      val bigrams = when(size(col("ws")) >= 2,
+        expr("transform(sequence(0, size(ws)-2), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1]))"))
         .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
-      val top2 = t(s, dir, "documents")
+      val top2 = withWs
         .select(col("doc_id"), explode(bigrams).as("bg"))
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
       val stops = "('the','a','of','and','is','to','in')"
-      val base = t(s, dir, "documents").select(
+      val base = withWs.select(
         col("doc_id"),
-        size(ws).cast("long").as("n_words"),
-        expr(s"CAST(size(filter(split(text, ' '), w -> w IN $stops)) AS BIGINT)")
+        size(col("ws")).cast("long").as("n_words"),
+        expr(s"CAST(size(filter(ws, w -> w IN $stops)) AS BIGINT)")
           .as("n_stop"),
-        expr("CAST(aggregate(transform(split(text, ' '), w -> length(w)), 0, " +
+        expr("CAST(aggregate(transform(ws, w -> length(w)), 0, " +
           "(acc, x) -> acc + x) AS BIGINT)").as("sum_wlen"),
         size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
           .cast("long").as("n_symbols"),
@@ -173,6 +221,40 @@ object Pipeline2 {
         |      tf.term) AS BIGINT) AS rk
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n) x
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'query', 'stream') GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sum_dl FROM dl),
+        |pt AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+        |    LN((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n / stats.sum_dl))
+        |      AS score
+        |  FROM tf
+        |  JOIN (SELECT term, COUNT(*) AS df FROM tf GROUP BY term) dfreq USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |sc AS (SELECT doc_id, dl,
+        |    SUM(CASE WHEN term = 'spark' THEN score END) AS s1,
+        |    SUM(CASE WHEN term = 'query' THEN score END) AS s2,
+        |    SUM(CASE WHEN term = 'stream' THEN score END) AS s3,
+        |    SUM(CASE WHEN term = 'spark' THEN tf END) AS tf_spark,
+        |    SUM(CASE WHEN term = 'query' THEN tf END) AS tf_query,
+        |    SUM(CASE WHEN term = 'stream' THEN tf END) AS tf_stream
+        |  FROM pt GROUP BY doc_id, dl)
+        |SELECT rk, doc_id, dl,
+        |  CAST(COALESCE(tf_spark, 0) AS BIGINT) AS tf_spark,
+        |  CAST(COALESCE(tf_query, 0) AS BIGINT) AS tf_query,
+        |  CAST(COALESCE(tf_stream, 0) AS BIGINT) AS tf_stream
+        |FROM (SELECT doc_id, dl, tf_spark, tf_query, tf_stream,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY
+        |      COALESCE(s1, 0.0) + COALESCE(s2, 0.0) + COALESCE(s3, 0.0) DESC,
+        |      doc_id) AS BIGINT) AS rk
+        |  FROM sc) x
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q_doc_sim_cosine" ->
       """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
         |  FROM documents),
