@@ -23,10 +23,11 @@ import Qs._
   *
   * Scale notes (100 TB):
   *  - the term-pair join in [[q_doc_sim_cosine]] runs over a DF-pruned
-  *    vocabulary (df ≤ 50): stopword-grade terms are the quadratic hot
-  *    spot of sparse similarity, same escape hatch as the shingle DF cap
-  *    in Dedup; norms use the same pruned space, so cosine is exact
-  *    within it (identical docs score 1);
+  *    vocabulary (df ≤ N/10, relative so selectivity is scale-stable):
+  *    stopword-grade terms are the quadratic hot spot of sparse
+  *    similarity, same escape hatch as the shingle DF cap in Dedup;
+  *    norms use the same pruned space, so cosine is exact within it
+  *    (identical docs score 1);
   *  - stratified sampling is one window per stratum — a single shuffle
   *    keyed on the stratum, the distributed reservoir-sample shape;
   *  - everything else is groupBy/window over hash-partitionable keys.
@@ -110,15 +111,22 @@ object Pipeline2 {
     },
 
     // Count-vector cosine similarity pairs >= 0.5 via sparse term
-    // equi-join over the DF-pruned vocabulary (df ≤ 50 — corpus-frequent
-    // terms carry no signal and are the quadratic hot spot; norms use the
-    // SAME pruned space, so identical docs score exactly 1). The integer
-    // threshold test (num² ≥ ¼·na·nb) decides membership exactly; the
-    // emitted cosine is derived from the same exact integers.
+    // equi-join over the DF-pruned vocabulary (df ≤ N/10 — RELATIVE, so
+    // the prune keeps the same selectivity at every corpus size; an
+    // absolute cap silently empties the vocabulary at 10× scale).
+    // Corpus-frequent terms carry no signal and are the quadratic hot
+    // spot; norms use the SAME pruned space, so identical docs score
+    // exactly 1. The integer threshold test (num² ≥ ¼·na·nb) decides
+    // membership exactly; the emitted cosine derives from the same
+    // exact integers.
     "q_doc_sim_cosine" -> { (s, dir) =>
       val tf = termFreq(s, dir)
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val rare = tf.join(dfreq.filter(col("df") <= 50), Seq("term"))
+        .crossJoin(broadcast(n))
+        .filter(col("df") * 10 <= col("n_docs"))
+        .select(col("term"))
+      val rare = tf.join(dfreq, Seq("term"))
       val nsq = rare.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nsq"))
       val num = rare.as("a")
         .join(rare.as("b"), col("a.term") === col("b.term") &&
@@ -260,7 +268,8 @@ object Pipeline2 {
         |  FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        |rare AS (SELECT tf.* FROM tf JOIN dfreq USING (term) WHERE dfreq.df <= 50),
+        |rare AS (SELECT tf.* FROM tf JOIN dfreq USING (term)
+        |  WHERE dfreq.df * 10 <= (SELECT COUNT(*) FROM documents)),
         |nsq AS (SELECT doc_id, SUM(tf * tf) AS nsq FROM rare GROUP BY doc_id),
         |num AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |    SUM(a.tf * b.tf) AS num
