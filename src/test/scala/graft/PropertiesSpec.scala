@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
-import graft.operators.{Preview, Regression, SortedDelays}
+import graft.operators.{AsofJoin, Preview, Regression, SortedDelays}
 
 /** ScalaCheck property suite (SURVEY.md §5 item 4): regression closed
   * forms against an in-test sequential implementation, sort as an ordered
@@ -102,5 +102,62 @@ object PropertiesSpec extends Properties("graft") {
       val df = (1 to n).map(i => (i, s"r$i")).toDF("delay", "s")
       val out = Preview.run(df, limit).collect()
       out.length == math.min(limit.getOrElse(100), n)
+    }
+
+  // As-of join: every strategy × tolerance combination against a per-row
+  // naive oracle. Small keyspace and timespace force the hard cases —
+  // equal timestamps, tie-broken duplicates, keys missing on one side.
+  private val asofData: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+    for {
+      nl <- Gen.chooseNum(1, 12)
+      nr <- Gen.chooseNum(0, 12)
+      l <- Gen.listOfN(nl, for {
+        k <- Gen.chooseNum(1L, 3L); t <- Gen.chooseNum(0L, 20L)
+      } yield (k, t))
+      r <- Gen.listOfN(nr, for {
+        k <- Gen.chooseNum(1L, 3L); t <- Gen.chooseNum(0L, 20L)
+      } yield (k, t))
+    } yield (
+      l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+      r.zipWithIndex.map { case ((k, t), i) => (100L + i, k, t) })
+
+  private def naiveAsof(
+      left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)],
+      strategy: AsofJoin.Strategy, tol: Option[Long]): Map[Long, Option[Long]] =
+    left.map { case (lid, k, lt) =>
+      def pick(cands: Seq[(Long, Long, Long)], latest: Boolean): Option[(Long, Long, Long)] =
+        if (cands.isEmpty) None
+        else Some(cands.maxBy { case (rid, _, rt) => (if (latest) rt else -rt, rid) })
+      val back = pick(right.filter { case (_, rk, rt) =>
+        rk == k && rt <= lt && tol.forall(lt - rt <= _) }, latest = true)
+      val fwd = pick(right.filter { case (_, rk, rt) =>
+        rk == k && rt >= lt && tol.forall(rt - lt <= _) }, latest = false)
+      val chosen = strategy match {
+        case AsofJoin.Backward => back
+        case AsofJoin.Forward => fwd
+        case AsofJoin.Nearest => (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (lt - b._3 <= f._3 - lt) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+      }
+      lid -> chosen.map(_._1)
+    }.toMap
+
+  property("asof join: all strategies and tolerances match the naive oracle") =
+    forAll(asofData, Gen.option(Gen.chooseNum(0L, 10L))) { case ((l, r), tol) =>
+      import spark.implicits._
+      val left = l.toDF("l_id", "k", "t")
+      val right = r.toDF("r_id", "k", "t")
+      Seq(AsofJoin.Backward, AsofJoin.Forward, AsofJoin.Nearest).forall { st =>
+        val got = AsofJoin.leftAsof(left, right, "k", "t", "t",
+            rightCols = Seq("r_id"), tieBreak = "r_id", strategy = st,
+            tolerance = tol.map(v => org.apache.spark.sql.functions.lit(v)))
+          .select("l_id", "asof_r_id").collect()
+          .map(row => row.getLong(0) ->
+            (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+        val want = naiveAsof(l, r, st, tol)
+        got == want
+      }
     }
 }
