@@ -17,6 +17,12 @@ object SparkEngine {
     val s = SparkSession.builder()
       .master(master)
       .appName("graft")
+      // Full extension stack by default: FastHashRule (md5 → Md5Fast,
+      // the per-row JCA-lookup fix) and AsofStrategy (native as-of
+      // planning). Library queries also work without them — the rule is
+      // an optimization, the strategy only plans AsofJoinNode — but a
+      // production session should have both.
+      .withExtensions(new graft.plans.GraftExtensions().apply)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
