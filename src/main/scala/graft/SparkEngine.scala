@@ -33,6 +33,11 @@ object SparkEngine {
       // runs interpreted for minutes (observed 490s on a 200-row query).
       // JVM case mapping is identical for ASCII corpora and never stalls.
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // TIMESTAMP(NANOS) parquet columns (the `events` table) surface as
+      // raw long instead of erroring. Pinned at build time so the flag
+      // never flips mid-session; Tables.events keeps a lazy set as a
+      // fallback for externally-built sessions (driver Verify/Bench).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -126,7 +126,11 @@ object Pipeline2 {
         .crossJoin(broadcast(n))
         .filter(col("df") * 10 <= col("n_docs"))
         .select(col("term"))
-      val rare = tf.join(dfreq, Seq("term"))
+      // Materialized once: `rare` feeds four branches below (both join
+      // sides of `num` and both `nsq` aliases); unmaterialized, Catalyst
+      // re-plans the vocabulary prune — including its 1-row corpus-count
+      // broadcast — per branch, so the prune would run 4×.
+      val rare = tf.join(dfreq, Seq("term")).localCheckpoint()
       val nsq = rare.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nsq"))
       val num = rare.as("a")
         .join(rare.as("b"), col("a.term") === col("b.term") &&

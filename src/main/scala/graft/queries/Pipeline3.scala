@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.BloomFunctions
+import graft.functions.HashFunctions.{md5fast => md5f}
+import Qs._
+
+/** Third batch of training-data pipeline operators: passage-level
+  * deduplication (global keep-first and incremental bloom-screened
+  * ingest) and eval-set decontamination.
+  *
+  * All three work on fixed-width 10-token passages / 5-token shingles of
+  * `documents.text` — the chunk shapes a real pretraining pipeline
+  * dedups and decontaminates on.
+  *
+  * Scale notes (100 TB):
+  *  - passage/shingle joins and windows key on md5 of the chunk, so
+  *    shuffles move 32-byte hashes plus positions, not text (the oracle
+  *    keys on the raw chunk — same equivalence classes);
+  *  - [[q_dedup_bloom]] reduces the whole corpus side to one ~200 KB
+  *    bloom sketch (partial+final `BloomFilterAggregate`, the runtime-
+  *    filter machinery) and screens batch passages map-side BEFORE the
+  *    exact-verification shuffle — zero false negatives, so the result
+  *    is exact while the join input shrinks to bloom-positives;
+  *  - [[q_decontaminate]] broadcasts the eval-set shingles (test sets
+  *    are tiny vs the corpus), so the contamination join is map-side
+  *    with no shuffle of the training side's shingles.
+  */
+object Pipeline3 {
+
+  /** (doc_id, pos, passage): non-overlapping 10-token windows, in order.
+    * `(n+9) DIV 10` passages per doc; the tail passage may be short.
+    */
+  private def passages(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, CAST((size(split(text, ' ')) + 9) DIV 10 AS INT) - 1), " +
+          "i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))"))
+        .as(Seq("pos", "passage")))
+
+  val queries: Map[String, Q] = Map(
+    // Global passage dedup, keep-first: the first (doc_id, pos)
+    // occurrence of each passage survives; later occurrences drop.
+    // Emits per-doc passage counts and the reassembled clean text.
+    // One shuffle keyed on the passage hash, one on doc_id.
+    "q_passage_dedup" -> { (s, dir) =>
+      val w = Window.partitionBy(md5f(col("passage")))
+        .orderBy(col("doc_id"), col("pos"))
+      passages(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_passages"),
+          sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dropped"),
+          // collect_list skips the nulls `when` leaves for dropped
+          // passages; array_sort orders the kept structs by pos.
+          array_join(expr("transform(array_sort(collect_list(" +
+            "CASE WHEN rk = 1 THEN struct(pos, passage) END)), x -> x.passage)"),
+            " ").as("text_clean"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Incremental ingest dedup: docs with doc_id % 5 == 4 are the new
+    // batch; the rest are the existing corpus. A bloom filter over the
+    // corpus passages screens batch passages map-side ("definitely new"
+    // skips the join); bloom-positives are verified exactly with a semi
+    // join, so false positives never reach the result.
+    "q_dedup_bloom" -> { (s, dir) =>
+      // Materialized once: corpus feeds the bloom build (its own action)
+      // plus the verify join; batch feeds the screen and the per-doc
+      // totals.
+      val p = passages(s, dir).localCheckpoint()
+      val corpus = p.filter(col("doc_id") % 5 =!= 4).select(col("passage"))
+      val batch = p.filter(col("doc_id") % 5 === 4)
+      // Sized for ~200k corpus passages (sf0.1 holds ~24k): 1.6 Mbit
+      // ≈ 200 KB sketch. At production scale, size from the corpus row
+      // estimate; oversizing only costs sketch bytes, never correctness.
+      val bf = BloomFunctions.build(corpus, col("passage"), 200000L, 1600000L)
+      val dup = batch
+        .filter(BloomFunctions.mightContain(bf, col("passage")))
+        .join(corpus.distinct(), Seq("passage"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      batch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_passages"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_passages"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          (coalesce(col("n_dup"), lit(0L)) === 0).as("is_clean"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Eval-set decontamination: docs with doc_id % 50 == 0 form the
+    // held-out set; a training doc is contaminated if it shares any
+    // 5-token shingle with any eval doc. Joins on md5(shingle); the
+    // (small) eval side is broadcast.
+    "q_decontaminate" -> { (s, dir) =>
+      val sh = t(s, dir, "documents").select(
+        col("doc_id"),
+        explode(expr(
+          "CASE WHEN size(split(text, ' ')) >= 5 THEN " +
+            "transform(sequence(0, CAST(size(split(text, ' ')) AS INT) - 5), " +
+            "i -> array_join(slice(split(text, ' '), i + 1, 5), ' ')) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END")).as("shingle"))
+        .select(col("doc_id"), md5f(col("shingle")).as("h"))
+        .distinct()
+      val evalSh = sh.filter(col("doc_id") % 50 === 0).select(col("h")).distinct()
+      val hits = sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalSh), Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      t(s, dir, "documents").filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    })
+
+  private val passagesSql: String =
+    """p AS (SELECT doc_id,
+      |    UNNEST(GENERATE_SERIES(0, (LEN(ws) + 9) // 10 - 1)) AS pos,
+      |    UNNEST(LIST_TRANSFORM(GENERATE_SERIES(0, (LEN(ws) + 9) // 10 - 1),
+      |      i -> ARRAY_TO_STRING(ws[i * 10 + 1 : i * 10 + 10], ' '))) AS passage
+      |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents) w)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_passage_dedup" ->
+      s"""WITH $passagesSql,
+        |m AS (SELECT doc_id, pos, passage,
+        |    ROW_NUMBER() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rk
+        |  FROM p)
+        |SELECT doc_id, COUNT(*) AS n_passages,
+        |  CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(STRING_AGG(CASE WHEN rk = 1 THEN passage END, ' ' ORDER BY pos),
+        |    '') AS text_clean
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_bloom" ->
+      s"""WITH $passagesSql,
+        |corpus AS (SELECT DISTINCT passage FROM p WHERE doc_id % 5 <> 4),
+        |batch AS (SELECT doc_id, passage FROM p WHERE doc_id % 5 = 4)
+        |SELECT b.doc_id, COUNT(*) AS n_passages,
+        |  CAST(SUM(CASE WHEN c.passage IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  SUM(CASE WHEN c.passage IS NOT NULL THEN 1 ELSE 0 END) = 0 AS is_clean
+        |FROM batch b LEFT JOIN corpus c USING (passage)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, UNNEST(CASE WHEN LEN(ws) >= 5 THEN
+        |      LIST_TRANSFORM(GENERATE_SERIES(0, LEN(ws) - 5),
+        |        i -> ARRAY_TO_STRING(ws[i + 1 : i + 5], ' '))
+        |    ELSE [] END) AS shingle
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents) w) x),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (SELECT s.doc_id, COUNT(*) AS n_shared
+        |  FROM sh s JOIN ev USING (shingle) WHERE s.doc_id % 50 <> 0
+        |  GROUP BY s.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin)
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.BloomFunctions
+
+/** Algorithm specs for the passage-dedup / decontamination /
+  * bloom-ingest batch (the DuckDB oracle checks engine parity on the
+  * harness tables; these check the algorithms and the bloom pruning
+  * guarantees on crafted corpora).
+  */
+class Pipeline3Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bloom filter: no false negatives, and actually prunes") {
+    val corpus = (1 to 1000).map(i => s"passage number $i").toDF("p")
+    val probeHit = (1 to 1000 by 7).map(i => s"passage number $i").toDF("p")
+    val probeMiss = (1 to 2000).map(i => s"absent text $i").toDF("p")
+    val bf = BloomFunctions.build(corpus, col("p"), 10000L, 80000L)
+    // every true member passes the screen (bloom guarantee)
+    assert(probeHit.filter(BloomFunctions.mightContain(bf, col("p"))).count()
+      === probeHit.count())
+    // and the screen rejects the overwhelming majority of non-members
+    val passed = probeMiss.filter(BloomFunctions.mightContain(bf, col("p"))).count()
+    assert(passed < 100, s"bloom passed $passed of 2000 non-members")
+  }
+
+  test("q_dedup_bloom matches the naive exact join (bloom is invisible)") {
+    val got = graft.SparkEntry.queries("q_dedup_bloom")(spark, dir)
+      .select("doc_id", "n_passages", "n_dup")
+      .as[(Long, Long, Long)].collect().toSet
+    // naive twin: same passage split, plain left join, no bloom
+    val p = graft.Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      explode(expr(
+        "transform(sequence(0, CAST((size(split(text, ' ')) + 9) DIV 10 AS INT) - 1), " +
+          "i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))")).as("passage"))
+    val corpus = p.filter(col("doc_id") % 5 =!= 4).select("passage").distinct()
+      .withColumn("hit", lit(1L))
+    val want = p.filter(col("doc_id") % 5 === 4)
+      .join(corpus, Seq("passage"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L))).as("d"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("passage dedup keeps exactly the first occurrence of each passage") {
+    val out = graft.SparkEntry.queries("q_passage_dedup")(spark, dir)
+      .select("doc_id", "n_passages", "n_dropped", "text_clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // replay keep-first sequentially on the driver
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val ps = ws.grouped(10).map(_.mkString(" ")).toSeq
+      val kept = ps.filter(seen.add)
+      (id, ps.size.toLong, (ps.size - kept.size).toLong, kept.mkString(" "))
+    }
+    assert(out.toSeq === expect.toSeq)
+    assert(expect.map(_._3).sum > 0, "fixture has no duplicate passages")
+  }
+
+  test("decontamination flags exactly the docs sharing a 5-gram with eval") {
+    val out = graft.SparkEntry.queries("q_decontaminate")(spark, dir)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def sh(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 5) Set.empty
+      else (0 to ws.length - 5).map(i => ws.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val evalSh = docs.filter(_._1 % 50 == 0).flatMap(d => sh(d._2)).toSet
+    val expect = docs.filter(_._1 % 50 != 0)
+      .map(d => d._1 -> sh(d._2).count(evalSh.contains).toLong).toMap
+    assert(out === expect)
+  }
+}

@@ -108,6 +108,32 @@ class PlanQualitySpec extends AnyFunSuite {
       "calendar cross join must broadcast, not shuffle-cartesian\n" + p)
   }
 
+  test("q_dedup_bloom: bloom screen is a pre-shuffle filter, verify join is hash-based") {
+    val p = plan("q_dedup_bloom")
+    // the probe predicate must exist (the screen actually happens)...
+    assert(p.contains("might_contain"), p)
+    // ...and feed a hash semi join, never a nested loop
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the screen runs map-side: the filter appears before the first
+    // exchange of its branch, i.e. somewhere below an Exchange in the text
+    val probeIdx = p.indexOf("might_contain")
+    assert(p.lastIndexOf("Exchange", probeIdx) >= 0 || !p.contains("Exchange"),
+      "bloom screen should sit under the shuffle, not above it\n" + p)
+  }
+
+  test("q_decontaminate: eval shingles broadcast; train side never shuffles for the join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_passage_dedup: hash-keyed window, no nested loops") {
+    val p = plan("q_passage_dedup")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_asof_join and variants plan with no join node (union+window sweep)") {
     for (q <- Seq("q_asof_join", "q_asof_tolerance", "q_asof_forward", "q_asof_nearest")) {
       val p = plan(q)
