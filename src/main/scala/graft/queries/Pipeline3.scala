@@ -93,6 +93,44 @@ object Pipeline3 {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus mixing under a per-source token budget: within each source,
+    // docs are taken in deterministic md5 order while the running token
+    // total stays within budget — the "sample N tokens per domain" step
+    // of assembling a training mixture. One shuffle keyed on source;
+    // exact integer running sums.
+    "q_mix_budget" -> { (s, dir) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5f(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 600)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"))
+    },
+
+    // Privacy scrub with k-anonymity (k=5) on the quasi-identifier pair
+    // (nation, segment): names pseudonymize to a stable md5, rare QI
+    // combinations suppress to '*', account balance generalizes to a
+    // 1000-unit band. Group sizes come from a two-phase agg broadcast
+    // back over the fact side.
+    "q_kanon" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val groups = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("qi_n"))
+      cust.join(broadcast(groups), Seq("c_nationkey", "c_mktsegment"))
+        .select(
+          md5f(col("c_name")).as("pseudo_id"),
+          when(col("qi_n") >= 5, col("c_nationkey").cast("string"))
+            .otherwise("*").as("nation_qi"),
+          when(col("qi_n") >= 5, col("c_mktsegment"))
+            .otherwise("*").as("segment_qi"),
+          (floor(col("c_acctbal") / 1000.0) * 1000).cast("long").as("acctbal_band"),
+          col("qi_n"))
+        .orderBy(col("pseudo_id"))
+    },
+
     // Eval-set decontamination: docs with doc_id % 50 == 0 form the
     // held-out set; a training doc is contaminated if it shares any
     // 5-token shingle with any eval doc. Joins on md5(shingle); the
@@ -149,6 +187,28 @@ object Pipeline3 {
         |  SUM(CASE WHEN c.passage IS NOT NULL THEN 1 ELSE 0 END) = 0 AS is_clean
         |FROM batch b LEFT JOIN corpus c USING (passage)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "q_mix_budget" ->
+      """SELECT source, doc_id, n_tokens, cum_tokens FROM (
+        |  SELECT source, doc_id,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) OVER (
+        |      PARTITION BY source
+        |      ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM documents) x
+        |WHERE cum_tokens <= 600 ORDER BY source, cum_tokens""".stripMargin,
+    "q_kanon" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS qi_n
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT MD5(c_name) AS pseudo_id,
+        |  CASE WHEN qi_n >= 5 THEN CAST(c.c_nationkey AS VARCHAR)
+        |    ELSE '*' END AS nation_qi,
+        |  CASE WHEN qi_n >= 5 THEN c.c_mktsegment ELSE '*' END AS segment_qi,
+        |  CAST(FLOOR(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acctbal_band,
+        |  qi_n
+        |FROM customer c JOIN g
+        |  ON c.c_nationkey = g.c_nationkey AND c.c_mktsegment = g.c_mktsegment
+        |ORDER BY pseudo_id""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
         |  SELECT doc_id, UNNEST(CASE WHEN LEN(ws) >= 5 THEN

@@ -67,6 +67,44 @@ class Pipeline3Spec extends AnyFunSuite {
     assert(expect.map(_._3).sum > 0, "fixture has no duplicate passages")
   }
 
+  test("mix budget: kept docs are the maximal md5-ordered prefix within budget") {
+    val kept = graft.SparkEntry.queries("q_mix_budget")(spark, dir)
+      .select("source", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    assert(kept.forall(_._3 <= 600))
+    // replay: per source the kept set must be exactly the prefix of the
+    // md5-ordered doc list whose running token total stays <= 600
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .as[(String, Long, Long, String)].collect()
+    val expectPrefix = docs.groupBy(_._1).flatMap { case (src, ds) =>
+      val ordered = ds.sortBy(d => (d._4, d._2))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).filter(_._2 <= 600)
+        .map { case (d, c) => (src, d._2, c) }.toSeq
+    }.toSet
+    assert(kept.toSet === expectPrefix)
+  }
+
+  test("k-anonymity: rare QI groups suppress, common ones survive") {
+    val rows = graft.SparkEntry.queries("q_kanon")(spark, dir)
+      .select("nation_qi", "segment_qi", "qi_n")
+      .as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nat, seg, n) =>
+      if (n < 5) assert(nat === "*" && seg === "*", s"group of $n not suppressed")
+      else assert(nat != "*" && seg != "*", s"group of $n wrongly suppressed")
+    }
+    // every surviving QI group really has >= 5 members in the output
+    val sizes = rows.filter(_._1 != "*").groupBy(r => (r._1, r._2))
+    sizes.foreach { case (qi, rs) =>
+      assert(rs.length >= 5, s"$qi appears ${rs.length} times")
+    }
+  }
+
   test("decontamination flags exactly the docs sharing a 5-gram with eval") {
     val out = graft.SparkEntry.queries("q_decontaminate")(spark, dir)
       .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap

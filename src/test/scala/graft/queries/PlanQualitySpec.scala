@@ -134,6 +134,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_mix_budget: one hash shuffle on source feeds the running-sum window") {
+    val p = plan("q_mix_budget")
+    assert(p.contains("Window"), p)
+    // hash exchange for the window partition + range exchange for the
+    // final orderBy — nothing else
+    assert(p.split("Exchange hash|Exchange range").length <= 3, p)
+  }
+
+  test("q_kanon: QI group sizes broadcast back; agg is partial+final") {
+    val p = plan("q_kanon")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.split("HashAggregate").length >= 3, p)
+  }
+
   test("q_asof_join and variants plan with no join node (union+window sweep)") {
     for (q <- Seq("q_asof_join", "q_asof_tolerance", "q_asof_forward", "q_asof_nearest")) {
       val p = plan(q)
