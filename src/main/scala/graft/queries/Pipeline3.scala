@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.BloomFunctions
 import graft.functions.HashFunctions.{md5fast => md5f}
+import graft.operators.{Dedup, Similarity}
 import Qs._
 
 /** Third batch of training-data pipeline operators: passage-level
@@ -91,6 +92,27 @@ object Pipeline3 {
           coalesce(col("n_dup"), lit(0L)).as("n_dup"),
           (coalesce(col("n_dup"), lit(0L)) === 0).as("is_clean"))
         .orderBy(col("doc_id"))
+    },
+
+    // Semantic dedup (the SemDeDup shape): embedding near-dup pairs from
+    // sign-LSH buckets, transitively closed into clusters, one min-id
+    // representative kept per cluster; vectors in no pair represent
+    // themselves. Composes two verified operators — candidate generation
+    // stays LSH-bounded and cluster resolution is the iterated
+    // join+aggregate with checkpointed lineage, nothing driver-side.
+    "q_dedup_semantic" -> { (s, dir) =>
+      val pairs = Similarity.cosineNearDupPairs(
+        Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3, bits = 4)
+      val clusters = Dedup.resolveClusters(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+      t(s, dir, "embeddings").select(col("vec_id"))
+        .join(clusters, Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          coalesce(col("keep_id"), col("vec_id")).as("keep_id"),
+          (coalesce(col("keep_id"), col("vec_id")) === col("vec_id"))
+            .as("is_representative"))
+        .orderBy(col("vec_id"))
     },
 
     // Corpus mixing under a per-source token budget: within each source,
@@ -187,6 +209,32 @@ object Pipeline3 {
         |  SUM(CASE WHEN c.passage IS NOT NULL THEN 1 ELSE 0 END) = 0 AS is_clean
         |FROM batch b LEFT JOIN corpus c USING (passage)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, emb, nrm,
+        |  (CASE WHEN emb[1] > 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN emb[2] > 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN emb[3] > 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN emb[4] > 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+        |pairs AS (SELECT a.vec_id AS a_id, c.vec_id AS b_id
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |  WHERE list_inner_product(a.emb, c.emb) / (a.nrm * c.nrm) >= 0.3),
+        |sym AS (SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a AS src, b AS dst FROM sym
+        |  UNION SELECT a AS src, a AS dst FROM sym
+        |  UNION SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a),
+        |lab AS (SELECT src AS vec_id, MIN(dst) AS keep_id
+        |  FROM reach GROUP BY src)
+        |SELECT m.vec_id, COALESCE(lab.keep_id, m.vec_id) AS keep_id,
+        |  COALESCE(lab.keep_id, m.vec_id) = m.vec_id AS is_representative
+        |FROM embeddings m LEFT JOIN lab ON m.vec_id = lab.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
     "q_mix_budget" ->
       """SELECT source, doc_id, n_tokens, cum_tokens FROM (
         |  SELECT source, doc_id,
