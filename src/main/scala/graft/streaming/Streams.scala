@@ -69,6 +69,29 @@ object Streams {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), key)
 
+  /** Incremental corpus-ingest dedup — the streaming face of
+    * `q_dedup_bloom`: new documents stream in, a bloom filter of the
+    * existing corpus screens each micro-batch map-side (bloom-negative ⇒
+    * definitely new, never touches the join), and bloom-positives verify
+    * exactly with a stream-static anti join against the corpus hash set.
+    * Emits only genuinely-new documents; the bloom keeps results exact
+    * (no false negatives) while bounding per-batch join input.
+    *
+    * `corpusHashes` must have a single `h` column of md5 hex strings
+    * (build once with `Dedup`-style `md5(text)`; refresh on corpus
+    * compaction).
+    */
+  def ingestDedupStream(docs: DataFrame, corpusHashes: DataFrame,
+      bloom: Array[Byte], textCol: String = "text"): DataFrame = {
+    import graft.functions.BloomFunctions
+    import graft.functions.HashFunctions.{md5fast => md5f}
+    val h = md5f(col(textCol))
+    val definiteNew = docs.filter(!BloomFunctions.mightContain(bloom, h))
+    val verified = docs.filter(BloomFunctions.mightContain(bloom, h))
+      .join(corpusHashes, h === corpusHashes("h"), "left_anti")
+    definiteNew.unionByName(verified)
+  }
+
   /** Stream-stream join: purchases matched to clicks of the same user
     * within `horizon` BEFORE the purchase. Both sides watermarked, and the
     * time-range predicate bounds the join state store (Spark drops

@@ -144,6 +144,43 @@ object PropertiesSpec extends Properties("graft") {
       lid -> chosen.map(_._1)
     }.toMap
 
+  // random graphs: node ids sparse (collision-prone labels), edge lists
+  // with duplicates, partitioned adversarially — the shapes that break
+  // distributed connected components
+  private val graphs: Gen[(List[(Long, Long)], Int)] = for {
+    n <- Gen.chooseNum(2, 60)
+    e <- Gen.chooseNum(1, 120)
+    edges <- Gen.listOfN(e, for {
+      a <- Gen.chooseNum(0, n - 1)
+      b <- Gen.chooseNum(0, n - 1)
+      if a != b
+    } yield (a.toLong * 13 + 7, b.toLong * 13 + 7))
+    parts <- Gen.chooseNum(1, 9)
+  } yield (edges, parts)
+
+  property("cluster resolution: component minimum under any partitioning") =
+    forAll(graphs) { case (edges, parts) =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val pairs = edges.toDF("a_id", "b_id").repartition(parts)
+        val got = operators.Dedup.resolveClusters(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // in-test union-find oracle
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val want = parent.keys.map(nd => nd -> find(nd)).toMap
+        got == want
+      }
+    }
+
   property("asof join: all strategies and tolerances match the naive oracle") =
     forAll(asofData, Gen.option(Gen.chooseNum(0L, 10L))) { case ((l, r), tol) =>
       import spark.implicits._

@@ -44,4 +44,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(d === 11.0)
     }
   }
+
+  test("graft_bloom_agg / graft_might_contain: SQL bloom build and probe") {
+    withExtSession { spark =>
+      spark.range(1000).createOrReplaceTempView("corpus_ids")
+      val bf = spark.sql(
+        "SELECT graft_bloom_agg(xxhash64(id), 2000L, 16000L) AS f FROM corpus_ids")
+        .head().getAs[Array[Byte]]("f")
+      spark.range(3000).createOrReplaceTempView("probe_ids")
+      val probed = spark.sql(
+        "SELECT id, graft_might_contain(" +
+          s"X'${bf.map("%02x".format(_)).mkString}', xxhash64(id)) AS hit " +
+          "FROM probe_ids")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+      // no false negatives on members
+      assert(probed.filter(_._1 < 1000).forall(_._2))
+      // and most non-members are rejected
+      val fp = probed.count { case (id, hit) => id >= 1000 && hit }
+      assert(fp < 200, s"$fp of 2000 non-members passed")
+    }
+  }
 }

@@ -51,6 +51,32 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestDedupStream emits only documents absent from the corpus") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{BloomFunctions, HashFunctions}
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpusHashes = corpus.select(HashFunctions.md5fast(col("text")).as("h"))
+    val bloom = BloomFunctions.build(corpusHashes, col("h"), 1000L, 8000L)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (10L, "alpha beta"),      // exact dup of corpus doc 1 → dropped
+      (11L, "brand new text"),  // new → kept
+      (12L, "gamma delta"),     // dup of corpus doc 2 → dropped
+      (13L, "another new one")) // new → kept
+    val q = Streams.ingestDedupStream(
+        in.toDF.toDF("doc_id", "text"), corpusHashes, bloom)
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("ingest").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept === Set(11L, 13L))
+    } finally q.stop()
+  }
+
   test("streamToLake ingests a stream into a partitioned parquet lake") {
     val src = Files.createTempDirectory("events3").toString
     val lake = s"${Files.createTempDirectory("lake3")}/events"
