@@ -140,6 +140,39 @@ object Relational2 {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 14, 2).as("revenue"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // Column profiler: one pass over lineitem computing per-column
+    // row/null/exact-distinct counts and min/max — the data-quality
+    // summary every ingestion pipeline runs first. Spark plans the
+    // multi-column exact distinct via one Expand (single shuffle);
+    // `stack` pivots the wide aggregate row into one row per column.
+    "q_profile" -> { (s, dir) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val wide = t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c"))): _*)
+      wide.select(expr("stack(4, " + cols.map(c =>
+          s"'$c', n, null_$c, ndv_$c, min_$c, max_$c").mkString(", ") +
+          ") AS (col_name, n, n_null, n_distinct, min_v, max_v)"))
+        .orderBy(col("col_name"))
+    },
+
+    // Retention cohorts: users bucketed by their first active week
+    // (integer micros DIV week, exact in any engine), then distinct
+    // active users per (cohort, week offset) — two keyed aggregations.
+    "q_retention" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts) DIV 604800000000").as("wk"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_wk"), col("offset_wk"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -211,5 +244,24 @@ object Relational2 {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE EXISTS (SELECT 1 FROM customer
         |  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v
+           |FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id)
+        |SELECT cohort_wk, ev.wk - cohort_wk AS offset_wk,
+        |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY cohort_wk, offset_wk
+        |ORDER BY cohort_wk, offset_wk""".stripMargin)
 }

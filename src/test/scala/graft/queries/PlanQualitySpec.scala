@@ -148,6 +148,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length >= 3, p)
   }
 
+  test("q_profile: all column stats come from ONE scan of lineitem") {
+    val p = plan("q_profile")
+    // multi-column exact distinct plans via Expand over a single scan,
+    // never one scan per profiled column
+    assert(p.split("Scan parquet").length == 2, s"expected exactly one scan\n$p")
+    assert(p.contains("Expand"), p)
+  }
+
   test("q_asof_join and variants plan with no join node (union+window sweep)") {
     for (q <- Seq("q_asof_join", "q_asof_tolerance", "q_asof_forward", "q_asof_nearest")) {
       val p = plan(q)
