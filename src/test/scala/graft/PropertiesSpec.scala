@@ -181,6 +181,35 @@ object PropertiesSpec extends Properties("graft") {
       }
     }
 
+  // corpus/batch with forced overlap: bloom screening + exact verify must
+  // equal a plain anti join regardless of filter sizing
+  private val corpora: Gen[(List[String], List[String], Long)] = for {
+    nc <- Gen.chooseNum(1, 40)
+    nb <- Gen.chooseNum(1, 40)
+    corpus <- Gen.listOfN(nc, Gen.chooseNum(0, 60).map(i => s"doc $i"))
+    batch <- Gen.listOfN(nb, Gen.chooseNum(0, 60).map(i => s"doc $i"))
+    bits <- Gen.oneOf(64L, 512L, 65536L) // undersized filters too
+  } yield (corpus, batch, bits)
+
+  property("bloom-screened dedup equals the naive anti join at any sizing") =
+    forAll(corpora) { case (corpus, batch, bits) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val c = corpus.toDF("text")
+      val b = batch.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val bf = functions.BloomFunctions.build(c, col("text"), 100L, bits)
+      val kept = b.filter(!functions.BloomFunctions.mightContain(bf, col("text")))
+        .unionByName(
+          b.filter(functions.BloomFunctions.mightContain(bf, col("text")))
+            .join(c, Seq("text"), "left_anti"))
+        .select("id").as[Long].collect().toSet
+      val want = batch.zipWithIndex.collect {
+        case (t, i) if !corpus.contains(t) => i.toLong
+      }.toSet
+      kept == want
+    }
+
   property("asof join: all strategies and tolerances match the naive oracle") =
     forAll(asofData, Gen.option(Gen.chooseNum(0L, 10L))) { case ((l, r), tol) =>
       import spark.implicits._
