@@ -81,9 +81,11 @@ object Pipeline3 {
       // ≈ 200 KB sketch. At production scale, size from the corpus row
       // estimate; oversizing only costs sketch bytes, never correctness.
       val bf = BloomFunctions.build(corpus, col("passage"), 200000L, 1600000L)
+      // semi join needs no distinct on the corpus side — existence is
+      // existence, and the pre-dedup would cost a full corpus shuffle
       val dup = batch
         .filter(BloomFunctions.mightContain(bf, col("passage")))
-        .join(corpus.distinct(), Seq("passage"), "left_semi")
+        .join(corpus, Seq("passage"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
       batch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_passages"))
         .join(dup, Seq("doc_id"), "left")
