@@ -131,6 +131,33 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Containment near-dup pairs: |A∩B| / |A| ≥ t10/10, A ≠ B — the
+    * ASYMMETRIC overlap that catches a document subsumed by a larger one
+    * (quotes, concatenations), which symmetric Jaccard dilutes away.
+    * Emits (a_id contained-in b_id) with exact integer evidence; the
+    * threshold test cross-multiplies so no floats cross the shuffle.
+    * Same self-join-then-aggregate shape as [[jaccardPairs]] (map-side
+    * combine off the shingle join); at corpus scale, bound candidates
+    * with the LSH/DF-cap machinery before verification.
+    */
+  def containmentPairs(docs: DataFrame, t10: Int): DataFrame = {
+    val sh = shingles(docs)
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    common
+      .join(sz.as("za"), col("a_id") === col("za.doc_id"))
+      .join(sz.as("zb"), col("b_id") === col("zb.doc_id"))
+      .select(
+        col("a_id"), col("b_id"), col("common"),
+        col("za.n").as("n_a"), col("zb.n").as("n_b"))
+      .filter(col("common") * 10 >= col("n_a") * t10)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** MinHash+LSH near-dup detection: 4 bands × 2 rows banding over an
     * 8-hash signature; band-bucket equi-join for candidates; exact
     * verification at `t10/10` Jaccard.

@@ -96,6 +96,13 @@ object Pipeline3 {
         .orderBy(col("doc_id"))
     },
 
+    // Containment dedup: documents ≥80% contained in another document by
+    // 3-gram shingles — the asymmetric overlap Jaccard dilutes away
+    // (a quote inside a 10× larger doc has tiny Jaccard but containment 1).
+    "q_dedup_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), t10 = 8)
+    },
+
     // Semantic dedup (the SemDeDup shape): embedding near-dup pairs from
     // sign-LSH buckets, transitively closed into clusters, one min-id
     // representative kept per cluster; vectors in no pair represent
@@ -191,6 +198,16 @@ object Pipeline3 {
       |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents) w)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_containment" ->
+      s"""WITH ${Pipeline.shinglesSql},
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, common, za.n AS n_a, zb.n AS n_b
+        |FROM co JOIN sz za ON a_id = za.doc_id JOIN sz zb ON b_id = zb.doc_id
+        |WHERE common * 10 >= za.n * 8
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_passage_dedup" ->
       s"""WITH $passagesSql,
         |m AS (SELECT doc_id, pos, passage,

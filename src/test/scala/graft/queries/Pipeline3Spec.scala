@@ -105,6 +105,20 @@ class Pipeline3Spec extends AnyFunSuite {
     }
   }
 
+  test("containment is asymmetric: the quote is contained, the host is not") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "intro words alpha beta gamma delta epsilon and then a much longer tail of unrelated content"),
+      (3L, "totally different text about nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, t10 = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"quote not detected: $pairs") // 1 ⊂ 2
+    assert(!pairs.contains((2L, 1L)), "host wrongly contained in quote")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("decontamination flags exactly the docs sharing a 5-gram with eval") {
     val out = graft.SparkEntry.queries("q_decontaminate")(spark, dir)
       .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
