@@ -65,6 +65,38 @@ object Pipeline3 {
         .orderBy(col("doc_id"))
     },
 
+    // Intra-document repetition removal (the RefinedWeb in-doc dedup
+    // step): repeated 10-token passages WITHIN a document collapse to
+    // their first occurrence; other documents are unaffected. Window
+    // keyed on (doc, passage hash) — partitions by doc_id, so at corpus
+    // scale this shuffles each document once, independent of corpus size.
+    "q_intradoc_dedup" -> { (s, dir) =>
+      val w = Window.partitionBy(col("doc_id"), md5f(col("passage")))
+        .orderBy(col("pos"))
+      passages(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_passages"),
+          sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dropped"),
+          array_join(expr("transform(array_sort(collect_list(" +
+            "CASE WHEN rk = 1 THEN struct(pos, passage) END)), x -> x.passage)"),
+            " ").as("text_clean"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Vocabulary building: global term counts, top-100 by frequency with
+    // deterministic tie-break — the counting pass under tokenizer/vocab
+    // training. Two-phase agg then TakeOrdered: no global sort at any
+    // corpus size.
+    "q_vocab_topk" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(100)
+    },
+
     // Incremental ingest dedup: docs with doc_id % 5 == 4 are the new
     // batch; the rest are the existing corpus. A bloom filter over the
     // corpus passages screens batch passages map-side ("definitely new"
@@ -218,6 +250,20 @@ object Pipeline3 {
         |  COALESCE(STRING_AGG(CASE WHEN rk = 1 THEN passage END, ' ' ORDER BY pos),
         |    '') AS text_clean
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_intradoc_dedup" ->
+      s"""WITH $passagesSql,
+        |m AS (SELECT doc_id, pos, passage,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id, passage ORDER BY pos) AS rk
+        |  FROM p)
+        |SELECT doc_id, COUNT(*) AS n_passages,
+        |  CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(STRING_AGG(CASE WHEN rk = 1 THEN passage END, ' ' ORDER BY pos),
+        |    '') AS text_clean
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_vocab_topk" ->
+      """SELECT term, COUNT(*) AS n
+        |FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents) x
+        |GROUP BY term ORDER BY n DESC, term LIMIT 100""".stripMargin,
     "q_dedup_bloom" ->
       s"""WITH $passagesSql,
         |corpus AS (SELECT DISTINCT passage FROM p WHERE doc_id % 5 <> 4),

@@ -105,6 +105,21 @@ class Pipeline3Spec extends AnyFunSuite {
     }
   }
 
+  test("intra-doc dedup collapses repeats within a doc, never across docs") {
+    val out = graft.SparkEntry.queries("q_intradoc_dedup")(spark, dir)
+      .select("doc_id", "n_passages", "n_dropped", "text_clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val expect = docs.map { case (id, text) =>
+      val ps = text.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+      val seen = scala.collection.mutable.Set[String]() // per-doc state
+      val kept = ps.filter(seen.add)
+      (id, ps.size.toLong, (ps.size - kept.size).toLong, kept.mkString(" "))
+    }
+    assert(out.toSeq === expect.toSeq)
+  }
+
   test("containment is asymmetric: the quote is contained, the host is not") {
     import graft.operators.Dedup
     val docs = Seq(

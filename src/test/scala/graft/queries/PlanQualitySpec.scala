@@ -148,6 +148,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length >= 3, p)
   }
 
+  test("q_vocab_topk: two-phase count then top-k fusion, no global sort") {
+    val p = plan("q_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.split("HashAggregate").length >= 3, p)
+  }
+
   test("q_profile: all column stats come from ONE scan of lineitem") {
     val p = plan("q_profile")
     // multi-column exact distinct plans via Expand over a single scan,
