@@ -45,8 +45,20 @@ object BloomFunctions {
   /** Build the filter over `df`'s `key` column and return its bytes.
     * One aggregation job; the driver receives only the sketch (like a
     * broadcast-side build, not a data collect).
+    *
+    * An empty (or all-null-key) `df` yields an explicit empty filter
+    * rather than null — a null literal would make [[mightContain]]
+    * three-valued-logic-drop every probe row on BOTH branches of a
+    * screen-then-verify split, silently losing the "definitely new" set.
     */
-  def build(df: DataFrame, key: Column, expectedItems: Long, numBits: Long): Array[Byte] =
-    df.agg(bloomAgg(key, expectedItems, numBits).as("bf"))
+  def build(df: DataFrame, key: Column, expectedItems: Long, numBits: Long): Array[Byte] = {
+    val bytes = df.agg(bloomAgg(key, expectedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    if (bytes != null) bytes
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, numBits).writeTo(bos)
+      bos.toByteArray
+    }
+  }
 }

@@ -29,6 +29,15 @@ class Pipeline3Spec extends AnyFunSuite {
     assert(passed < 100, s"bloom passed $passed of 2000 non-members")
   }
 
+  test("bloom over an empty corpus rejects every probe (no null poisoning)") {
+    val empty = Seq.empty[String].toDF("p")
+    val bf = BloomFunctions.build(empty, col("p"), 100L, 800L)
+    assert(bf != null)
+    val probes = Seq("a", "b").toDF("p")
+    assert(probes.filter(BloomFunctions.mightContain(bf, col("p"))).count() === 0)
+    assert(probes.filter(!BloomFunctions.mightContain(bf, col("p"))).count() === 2)
+  }
+
   test("q_dedup_bloom matches the naive exact join (bloom is invisible)") {
     val got = graft.SparkEntry.queries("q_dedup_bloom")(spark, dir)
       .select("doc_id", "n_passages", "n_dup")
