@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through verbatim: sbt's default logger prefixes
+// every stdout line with "[info] ", which breaks any harness that parses
+// a program's JSON output line (the bench driver json.loads each line —
+// "[info] {...}" never parses). StdoutOutput inherits the parent streams.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
