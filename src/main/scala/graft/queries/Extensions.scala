@@ -243,6 +243,37 @@ object Extensions {
         .orderBy(col("event_id"))
     },
 
+    // Linear interpolation between known observations: values are kept
+    // only where event_id % 3 == 0 (simulated sparsity); the rest
+    // interpolate between the previous and next known (value, time)
+    // pairs, falling back to whichever side exists at the edges. Two
+    // windows over one shuffle; per-row IEEE arithmetic in a fixed
+    // order, so the oracle matches bit-for-bit.
+    "q_interpolate" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val back = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val known = col("event_id") % 3 === 0
+      val ev = t(s, dir, "events")
+        .withColumn("kv", when(known, col("value")))
+        .withColumn("kt", when(known, unix_micros(col("ts"))))
+        .withColumn("pv", last(col("kv"), ignoreNulls = true).over(back))
+        .withColumn("pt", last(col("kt"), ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("kv"), ignoreNulls = true).over(fwd))
+        .withColumn("nt", first(col("kt"), ignoreNulls = true).over(fwd))
+      ev.select(
+        col("event_id"), col("user_id"), tsS(col("ts")).as("ts_s"),
+        when(known, col("value"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .when(col("nt") === col("pt"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((unix_micros(col("ts")) - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double")))
+          .as("value_interp"))
+        .orderBy(col("event_id"))
+    },
+
     // Deterministic hash sampling: ~10% of documents via an md5-derived
     // bucket — reproducible on any engine/partitioning, unlike rand().
     "q_sample_hash" -> { (s, dir) =>
@@ -511,6 +542,34 @@ object Extensions {
         |  CAST((GREATEST(STRLEN(text) - 1, 0) // 64) + 1 AS BIGINT) AS n_frames,
         |  SUBSTR(text, 1, 16) AS first_frame
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_interpolate" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts, value,
+        |    CASE WHEN event_id % 3 = 0 THEN value END AS kv,
+        |    CASE WHEN event_id % 3 = 0 THEN epoch_us(ts) END AS kt
+        |  FROM events),
+        |w AS (SELECT *,
+        |    LAST_VALUE(kv IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    LAST_VALUE(kt IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    FIRST_VALUE(kv IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(kt IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM e)
+        |SELECT event_id, user_id, ${tsSqlS("ts")} AS ts_s,
+        |  CASE WHEN event_id % 3 = 0 THEN value
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    WHEN nt = pt THEN pv
+        |    ELSE pv + (nv - pv) *
+        |      (CAST(epoch_us(ts) - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |  END AS value_interp
+        |FROM w ORDER BY event_id""".stripMargin,
     "q_ffill" ->
       s"""SELECT event_id, user_id, ${tsSqlS("ts")} AS ts_s,
         |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
