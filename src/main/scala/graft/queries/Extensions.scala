@@ -243,6 +243,25 @@ object Extensions {
         .orderBy(col("event_id"))
     },
 
+    // SCD2 dimension build from a changelog: each user's event stream
+    // becomes versioned rows with [valid_from, valid_to) intervals — the
+    // lead of the next version closes the current one, the latest stays
+    // open (is_current). One window over one shuffle; the lakehouse
+    // upsert-history shape.
+    "q_scd2" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .select(
+          col("user_id"), col("event_id"), col("value"),
+          tsS(col("ts")).as("valid_from"),
+          coalesce(tsS(col("next_ts")), lit("9999-12-31 00:00:00")).as("valid_to"),
+          col("next_ts").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    },
+
     // Linear interpolation between known observations: values are kept
     // only where event_id % 3 == 0 (simulated sparsity); the rest
     // interpolate between the previous and next known (value, time)
@@ -542,6 +561,16 @@ object Extensions {
         |  CAST((GREATEST(STRLEN(text) - 1, 0) // 64) + 1 AS BIGINT) AS n_frames,
         |  SUBSTR(text, 1, 16) AS first_frame
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_scd2" ->
+      s"""WITH v AS (SELECT user_id, event_id, value, ts,
+        |    LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, value,
+        |  ${tsSqlS("ts")} AS valid_from,
+        |  COALESCE(${tsSqlS("next_ts")}, '9999-12-31 00:00:00') AS valid_to,
+        |  next_ts IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from, event_id""".stripMargin,
     "q_interpolate" ->
       s"""WITH e AS (SELECT event_id, user_id, ts, value,
         |    CASE WHEN event_id % 3 = 0 THEN value END AS kv,
