@@ -46,7 +46,7 @@ object Pipeline2 {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     // Top-3 TF-IDF terms per document. Integer outputs; ln used only to
     // rank (see scaladoc). N comes from a broadcast 1-row aggregate —
     // no driver-side count.
@@ -71,6 +71,43 @@ object Pipeline2 {
     // score only ORDERS — egress is integer (rank, per-term tf, dl), so
     // the oracle hash-matches despite libm ulp differences.
     "q_bm25" -> { (s, dir) =>
+      bm25Top20(s, dir)
+        .select(col("rk"), col("doc_id"), col("dl"),
+          coalesce(col("tf_spark"), lit(0L)).as("tf_spark"),
+          coalesce(col("tf_query"), lit(0L)).as("tf_query"),
+          coalesce(col("tf_stream"), lit(0L)).as("tf_stream"))
+        .orderBy(col("rk"))
+    },
+
+    // Two-stage retrieval (the RAG shape): BM25 recalls 20 candidates,
+    // an exact count-vector cosine reranks them. Stage 2 only touches
+    // the candidate set, so its per-doc norm join is 20 rows against a
+    // broadcastable aggregate — retrieval narrows before expensive
+    // scoring, the pattern that survives corpus scale-up.
+    "q_rerank" -> { (s, dir) =>
+      val terms = Seq("spark", "query", "stream")
+      val tfAll = termFreq(s, dir)
+      val nsq = tfAll.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nsq"))
+      val dot = tfAll.filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("dot"))
+      val reranked = bm25Top20(s, dir).select(col("doc_id"), col("rk").as("bm25_rk"))
+        .join(dot, Seq("doc_id"))
+        .join(nsq, Seq("doc_id"))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(lit(3.0)) * sqrt(col("nsq").cast("double"))))
+      reranked
+        .withColumn("rerank_rk", row_number().over(
+          Window.partitionBy().orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+        .select(col("rerank_rk"), col("bm25_rk"), col("doc_id"),
+          col("dot"), col("nsq"), col("cos"))
+        .orderBy(col("rerank_rk"))
+    }) ++ moreQueries
+
+  /** Shared BM25 stage: per-doc summed score over the fixed 3-term query,
+    * ranked, top 20. Kept private so q_bm25 (egress) and q_rerank
+    * (candidate generation) stay the same computation.
+    */
+  private def bm25Top20(s: org.apache.spark.sql.SparkSession, dir: String) = {
       val terms = Seq("spark", "query", "stream")
       val tf = termFreq(s, dir).filter(col("term").isin(terms: _*))
       val dl = t(s, dir, "documents")
@@ -103,13 +140,9 @@ object Pipeline2 {
         .withColumn("rk", row_number().over(
           Window.partitionBy().orderBy(col("s").desc, col("doc_id"))).cast("long"))
         .filter(col("rk") <= 20)
-        .select(col("rk"), col("doc_id"), col("dl"),
-          coalesce(col("tf_spark"), lit(0L)).as("tf_spark"),
-          coalesce(col("tf_query"), lit(0L)).as("tf_query"),
-          coalesce(col("tf_stream"), lit(0L)).as("tf_stream"))
-        .orderBy(col("rk"))
-    },
+  }
 
+  private lazy val moreQueries: Map[String, Q] = Map(
     // Count-vector cosine similarity pairs >= 0.5 via sparse term
     // equi-join over the DF-pruned vocabulary (df ≤ N/10 — RELATIVE, so
     // the prune keeps the same selectivity at every corpus size; an
@@ -267,6 +300,42 @@ object Pipeline2 {
         |      doc_id) AS BIGINT) AS rk
         |  FROM sc) x
         |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "q_rerank" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+        |  FROM documents),
+        |tfa AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |tf AS (SELECT * FROM tfa WHERE term IN ('spark', 'query', 'stream')),
+        |dl AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sum_dl FROM dl),
+        |pt AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+        |    LN((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n / stats.sum_dl))
+        |      AS score
+        |  FROM tf
+        |  JOIN (SELECT term, COUNT(*) AS df FROM tf GROUP BY term) dfreq USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |sc AS (SELECT doc_id,
+        |    COALESCE(SUM(CASE WHEN term = 'spark' THEN score END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'query' THEN score END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'stream' THEN score END), 0.0) AS s
+        |  FROM pt GROUP BY doc_id),
+        |top AS (SELECT doc_id, rk AS bm25_rk FROM (
+        |    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
+        |      AS BIGINT) AS rk FROM sc) x
+        |  WHERE rk <= 20),
+        |nsq AS (SELECT doc_id, SUM(tf * tf) AS nsq FROM tfa GROUP BY doc_id),
+        |dt AS (SELECT doc_id, SUM(tf) AS dot FROM tf GROUP BY doc_id)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+        |    AS rerank_rk,
+        |  bm25_rk, doc_id, CAST(dot AS BIGINT) AS dot,
+        |  CAST(nsq AS BIGINT) AS nsq, cos
+        |FROM (SELECT top.doc_id, top.bm25_rk, dt.dot, nsq.nsq,
+        |    CAST(dt.dot AS DOUBLE) / (SQRT(3.0) * SQRT(CAST(nsq.nsq AS DOUBLE)))
+        |      AS cos
+        |  FROM top JOIN dt USING (doc_id) JOIN nsq USING (doc_id)) y
+        |ORDER BY rerank_rk""".stripMargin,
     "q_doc_sim_cosine" ->
       """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
         |  FROM documents),
