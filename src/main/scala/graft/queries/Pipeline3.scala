@@ -35,7 +35,7 @@ object Pipeline3 {
   /** (doc_id, pos, passage): non-overlapping 10-token windows, in order.
     * `(n+9) DIV 10` passages per doc; the tail passage may be short.
     */
-  private def passages(s: SparkSession, dir: String): DataFrame =
+  private[queries] def passages(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"),
       posexplode(expr(
@@ -222,7 +222,7 @@ object Pipeline3 {
         .orderBy(col("doc_id"))
     })
 
-  private val passagesSql: String =
+  private[queries] val passagesSql: String =
     """p AS (SELECT doc_id,
       |    UNNEST(GENERATE_SERIES(0, (LEN(ws) + 9) // 10 - 1)) AS pos,
       |    UNNEST(LIST_TRANSFORM(GENERATE_SERIES(0, (LEN(ws) + 9) // 10 - 1),
