@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashFunctions.{md5fast => md5f}
+
 import Qs._
 
 /** Second relational batch: outer/cross join family, pivot/unpivot,
@@ -77,17 +79,59 @@ object Relational2 {
         .orderBy(col("tag"), col("o_orderkey"))
     },
 
-    // Approximate sketches: HLL distinct + approx quantiles. The oracle
-    // SQL uses DuckDB's own sketches, so the driver verifies rows+schema;
-    // the VALUE hash legitimately differs (HLL/KLL internals are
-    // per-engine). RelationalSpec bounds the error vs exact locally.
+    // Approximate sketches, deterministically: a KMV (k-minimum-values)
+    // distinct estimator and a fixed-bin histogram median. Unlike the
+    // engine-native HLL/KLL sketches (whose internals differ per engine,
+    // so their values can never hash-match an oracle), both of these are
+    // exact functions of the data — md5-keyed, so DuckDB reproduces them
+    // bit-for-bit — while still being genuine bounded-memory mergeable
+    // sketches. Scale shape: the distinct-hash set is reduced by a
+    // partial-agg shuffle keyed on (flag, hash); a per-shuffle-partition
+    // top-k prune (the global k smallest always survive any local top-k)
+    // bounds the final per-group rank to k·P rows. The histogram is one
+    // keyed aggregation over (flag, bin).
     "q_approx_sketches" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .cast("double").as("approx_median_price"))
+      import org.apache.spark.sql.expressions.Window
+      val k = 4096
+      val li = t(s, dir, "lineitem")
+      // 60-bit md5 prefix as the KMV hash (both engines: lowercase hex,
+      // identical int-to-string casts).
+      val h = li.select(col("l_returnflag"),
+          conv(substring(md5f(col("l_partkey").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val nd = h.groupBy(col("l_returnflag")).agg(count(lit(1)).as("nd"))
+      val pruned = h.withColumn("p", spark_partition_id())
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy(col("l_returnflag"), col("p")).orderBy(col("h"))))
+        .filter(col("lrn") <= k)
+      val hk = pruned
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("h"))))
+        .filter(col("rn") === k)
+        .select(col("l_returnflag"), col("h").as("hk"))
+      // est = (k-1) / (hk / 2^60); exact-double arithmetic in both engines.
+      val kmv = nd.join(hk, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"),
+          when(col("nd") < k, col("nd").cast("double"))
+            .otherwise(lit(4095.0) * lit(1152921504606846976.0) /
+              col("hk").cast("double"))
+            .as("approx_parts"))
+      // Histogram median: smallest $100 bin whose cumulative count passes
+      // half the total; report the bin midpoint.
+      val bins = li.groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") / 100.0).cast("long").as("b"))
+        .agg(count(lit(1)).as("n"))
+      val med = bins
+        .withColumn("cum", sum(col("n")).over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("b"))))
+        .withColumn("tot", sum(col("n")).over(
+          Window.partitionBy(col("l_returnflag"))))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag")).agg(min(col("b")).as("mb"))
+        .select(col("l_returnflag"),
+          ((col("mb") + lit(0.5)) * 100.0).as("approx_median_price"))
+      kmv.join(med, Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -202,14 +246,35 @@ object Relational2 {
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    // Values differ per engine (different sketch algorithms) — this
-    // oracle exists for the rows+schema check; hash mismatch is expected.
+    // Deterministic KMV + histogram-median twins of the Spark sketches —
+    // exact functions of the data, so the value hash matches.
     "q_approx_sketches" ->
-      """SELECT l_returnflag,
-        |  approx_count_distinct(l_partkey) AS approx_parts,
-        |  CAST(approx_quantile(l_extendedprice, 0.5) AS DOUBLE)
-        |    AS approx_median_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+        |    ('0x' || SUBSTR(MD5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |nd AS (SELECT l_returnflag, COUNT(*) AS nd FROM h GROUP BY 1),
+        |rk AS (SELECT l_returnflag, h,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |  FROM h),
+        |hk AS (SELECT l_returnflag, h AS hk FROM rk WHERE rn = 4096),
+        |bins AS (SELECT l_returnflag,
+        |    CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS b, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |med AS (SELECT l_returnflag, MIN(b) AS mb FROM (
+        |    SELECT l_returnflag, b,
+        |      SUM(n) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+        |      SUM(n) OVER (PARTITION BY l_returnflag) AS tot
+        |    FROM bins) x
+        |  WHERE cum * 2 >= tot GROUP BY 1)
+        |SELECT nd.l_returnflag,
+        |  CASE WHEN nd.nd < 4096 THEN CAST(nd.nd AS DOUBLE)
+        |       ELSE 4095.0 * 1152921504606846976.0 / CAST(hk.hk AS DOUBLE)
+        |  END AS approx_parts,
+        |  (med.mb + 0.5) * 100.0 AS approx_median_price
+        |FROM nd
+        |LEFT JOIN hk USING (l_returnflag)
+        |JOIN med USING (l_returnflag)
+        |ORDER BY nd.l_returnflag""".stripMargin,
     "q_union_all" ->
       """SELECT 'fulfilled' AS tag, o_orderkey FROM orders WHERE o_orderstatus = 'F'
         |UNION ALL

@@ -27,7 +27,7 @@ class RelationalSpec extends AnyFunSuite {
   test("approx sketches stay within tolerance of exact") {
     import org.apache.spark.sql.functions._
     val approx = Relational2.queries("q_approx_sketches")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = graft.Tables(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("d"),
@@ -35,7 +35,7 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     exact.foreach { case (k, (d, m)) =>
       val (ad, am) = approx(k)
-      assert(math.abs(ad - d).toDouble / d < 0.05, s"HLL error for $k")
+      assert(math.abs(ad - d) / d < 0.05, s"KMV error for $k")
       assert(math.abs(am - m) / m < 0.05, s"approx median error for $k")
     }
   }
