@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Extensions, Parity, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Relational, Relational2}
+import graft.queries.{Extensions, Parity, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Pipeline6, Relational, Relational2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Parity.queries ++ Relational.queries ++ Relational2.queries ++
       Pipeline.queries ++ Pipeline2.queries ++ Pipeline3.queries ++
-      Pipeline4.queries ++ Pipeline5.queries ++ Extensions.queries
+      Pipeline4.queries ++ Pipeline5.queries ++ Pipeline6.queries ++ Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +28,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Parity.oracle ++ Relational.oracle ++ Relational2.oracle ++
       Pipeline.oracle ++ Pipeline2.oracle ++ Pipeline3.oracle ++
-      Pipeline4.oracle ++ Pipeline5.oracle ++ Extensions.oracle
+      Pipeline4.oracle ++ Pipeline5.oracle ++ Pipeline6.oracle ++ Extensions.oracle
 }

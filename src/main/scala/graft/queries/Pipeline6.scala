@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Qs._
+
+/** Sixth batch: lakehouse-style MERGE upsert, Z-order layout clustering,
+  * PMI collocation mining, unigram-LM surprisal scoring, and PageRank
+  * over the co-purchase graph.
+  *
+  * Scale notes (100 TB):
+  *  - the MERGE upsert is the standard non-Delta upsert shape — latest
+  *    state per key on each side (one window shuffle keyed on the merge
+  *    key each) stitched by a keyed full outer join; no driver state;
+  *  - Z-order values are pure per-row bit arithmetic (narrow, codegen'd);
+  *    the histogram is one keyed aggregation — the same computation that
+  *    would drive a `repartitionByRange(zval)` layout write;
+  *  - collocations and LM scoring shuffle (token/bigram, count) pairs,
+  *    never documents; both scores use `ln` for ORDERING only (or route
+  *    it through an exact decimal sum) per the Pipeline2 float rules;
+  *  - PageRank is join+aggregate per iteration with a bounded iteration
+  *    count; edges/degrees are localCheckpoint-materialized so the
+  *    per-order self-join runs once, and rank mass flows through an
+  *    exact DECIMAL(16,10) sum, making every iteration deterministic
+  *    under any partitioning (and bit-replayable by the SQL oracle).
+  */
+object Pipeline6 {
+
+  /** Latest high-value purchase state per user within a time slice. */
+  private def latestState(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("value"), col("ts"))
+  }
+
+  /** Morton/Z-order interleave of the low 10 bits of two keys. */
+  private def zval(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    (0 until 10).map { i =>
+      shiftleft(shiftright(x.bitwiseAND(lit(1023L)), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(
+          shiftleft(shiftright(y.bitwiseAND(lit(1023L)), i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  val queries: Map[String, Q] = Map(
+    // MERGE INTO without a table format: base = latest high-value
+    // purchase per user before the cutoff, updates = after. Full outer
+    // join on the merge key classifies each output row as
+    // insert (new key) / update (both sides) / carry (no change).
+    "q_merge_upsert" -> { (s, dir) =>
+      val hv = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("value") > 150)
+      val base = latestState(hv.filter(col("ts") < "2024-01-20"))
+      val upd = latestState(hv.filter(col("ts") >= "2024-01-20"))
+      base.as("b").join(upd.as("u"),
+          col("b.user_id") === col("u.user_id"), "full_outer")
+        .select(
+          coalesce(col("u.user_id"), col("b.user_id")).as("user_id"),
+          when(col("b.user_id").isNull, "insert")
+            .when(col("u.user_id").isNull, "carry")
+            .otherwise("update").as("status"),
+          coalesce(col("u.value"), col("b.value")).as("last_value"),
+          tsS(coalesce(col("u.ts"), col("b.ts"))).as("last_ts"))
+        .orderBy(col("user_id"))
+    },
+
+    // Z-order layout histogram: interleave part/supplier key bits into a
+    // Morton value, then profile 256 z-buckets. Rows close in zval are
+    // close in BOTH key dimensions — sorting a write by zval gives
+    // multi-dimensional data skipping (min/max pruning works for filters
+    // on either key), which is the layout a 100 TB fact table wants.
+    "q_zorder" -> { (s, dir) =>
+      val z = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          zval(col("l_partkey"), col("l_suppkey")).as("zval"))
+      z.groupBy(shiftright(col("zval"), 12).as("z_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          min(col("zval")).as("z_min"),
+          max(col("zval")).as("z_max"))
+        .orderBy(col("z_bucket"))
+    },
+
+    // PMI collocations: adjacent-token bigrams scored by
+    // ln(P(xy) / P(x)P(y)), thresholded on support, top 40. Bigrams come
+    // from zipping each token array with its own tail — no window, no
+    // per-document shuffle; only (bigram, count) pairs move.
+    "q_collocations" -> { (s, dir) =>
+      val sp = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+      val big = sp.select(explode(expr(
+          "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1)," +
+            " (a, b) -> struct(a AS w1, b AS w2))")).as("z"))
+        .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+      val bg = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+      val uc = sp.select(explode(col("l")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val tot = big.agg(count(lit(1)).as("nb"))
+      val scored = bg
+        .join(uc.select(col("w").as("w1"), col("n").as("n_x")), Seq("w1"))
+        .join(uc.select(col("w").as("w2"), col("n").as("n_y")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n_xy") >= 20)
+      // ln is ORDERING-only (Pipeline2 float rules): emitted columns are
+      // the exact integer counts behind the score.
+      val pmi = log(col("n_xy").cast("double") * col("nb") /
+        (col("n_x") * col("n_y")))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.orderBy(pmi.desc, col("w1"), col("w2"))).cast("long"))
+        .filter(col("rk") <= 40)
+        .select(col("rk"), col("w1"), col("w2"), col("n_xy"),
+          col("n_x"), col("n_y"))
+        .orderBy(col("rk"))
+    },
+
+    // Unigram-LM surprisal (the perplexity-proxy quality score): each
+    // token's -ln p(w) under the corpus unigram model, summed per doc
+    // through an exact DECIMAL(18,10) (order-free under shuffle), ranked
+    // by average surprisal. High scores = rare-token-heavy documents —
+    // the "weird text" end of a quality-filter pipeline.
+    "q_lm_score" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val uc = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val tot = toks.agg(count(lit(1)).as("t"))
+      val sc = toks.join(uc, Seq("w")).crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n"),
+          (-log(col("n") / col("t").cast("double")))
+            .cast(DecimalType(18, 10)).as("surp"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("surp")).as("s"),
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("n") < 10, 1L).otherwise(0L)).as("n_rare"))
+      sc.withColumn("rk", row_number().over(
+          Window.orderBy(
+            (col("s").cast("double") / col("n_tokens")).desc, col("doc_id")))
+          .cast("long"))
+        .filter(col("rk") <= 30)
+        .select(col("rk"), col("doc_id"), col("n_tokens"), col("n_rare"))
+        .orderBy(col("rk"))
+    },
+
+    // PageRank over the co-purchase graph (parts sharing an order).
+    // Three Lloyd-style rounds of join+aggregate; contributions cross
+    // the shuffle as exact DECIMAL(16,10), so the double chain
+    // 0.15 + 0.85·Σ is bit-deterministic and oracle-replayable.
+    "q_pagerank" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+        // edges/degrees feed 3 iterations + the final rank: materialize
+        // once instead of re-running the per-order self-join per round.
+        .localCheckpoint()
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).localCheckpoint()
+      var pr = deg.select(col("src").as("node"), lit(1.0).as("pr"))
+      for (_ <- 1 to 3) {
+        pr = e.join(pr, e("src") === pr("node"))
+          .join(deg, Seq("src"))
+          .select(col("dst"),
+            (col("pr") / col("d")).cast(DecimalType(16, 10)).as("c"))
+          .groupBy(col("dst"))
+          .agg((lit(0.15) + lit(0.85) * sum(col("c")).cast("double")).as("pr"))
+          .select(col("dst").as("node"), col("pr"))
+      }
+      pr.join(deg, pr("node") === deg("src"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("pr").desc, col("node"))).cast("long"))
+        .filter(col("rk") <= 30)
+        .select(col("rk"), col("node").as("part_key"),
+          col("d").as("degree"), col("pr"))
+        .orderBy(col("rk"))
+    })
+
+  private val zSql: String = (0 until 10).map { i =>
+    s"(((((l_partkey & 1023) >> $i) & 1) << ${2 * i + 1}) | " +
+      s"((((l_suppkey & 1023) >> $i) & 1) << ${2 * i}))"
+  }.mkString(" | ")
+
+  val oracle: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH hv AS (SELECT * FROM events
+        |    WHERE event_type = 'purchase' AND value > 150),
+        |base AS (SELECT user_id, value, ts FROM (
+        |    SELECT user_id, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+        |    FROM hv WHERE ts < TIMESTAMP '2024-01-20') x WHERE rn = 1),
+        |upd AS (SELECT user_id, value, ts FROM (
+        |    SELECT user_id, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+        |    FROM hv WHERE ts >= TIMESTAMP '2024-01-20') x WHERE rn = 1)
+        |SELECT COALESCE(u.user_id, b.user_id) AS user_id,
+        |  CASE WHEN b.user_id IS NULL THEN 'insert'
+        |       WHEN u.user_id IS NULL THEN 'carry' ELSE 'update' END AS status,
+        |  COALESCE(u.value, b.value) AS last_value,
+        |  strftime(COALESCE(u.ts, b.ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_zorder" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey, ($zSql) AS zval FROM lineitem)
+         |SELECT CAST(zval >> 12 AS BIGINT) AS z_bucket, COUNT(*) AS n,
+         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+         |  CAST(MIN(zval) AS BIGINT) AS z_min,
+         |  CAST(MAX(zval) AS BIGINT) AS z_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_collocations" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |big AS (SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+        |  FROM sp),
+        |bg AS (SELECT w1, w2, COUNT(*) AS n_xy FROM big GROUP BY 1, 2),
+        |ug AS (SELECT unnest(l) AS w FROM sp),
+        |uc AS (SELECT w, COUNT(*) AS n FROM ug GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nb FROM big)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+        |    LN(CAST(n_xy AS DOUBLE) * nb / (ux.n * uy.n)) DESC, w1, w2)
+        |    AS BIGINT) AS rk,
+        |  w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
+        |  CAST(ux.n AS BIGINT) AS n_x, CAST(uy.n AS BIGINT) AS n_y
+        |FROM bg JOIN uc ux ON bg.w1 = ux.w JOIN uc uy ON bg.w2 = uy.w
+        |CROSS JOIN tot
+        |WHERE n_xy >= 20 QUALIFY rk <= 40 ORDER BY rk""".stripMargin,
+    "q_lm_score" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |uc AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS t FROM toks),
+        |sc AS (SELECT doc_id,
+        |    SUM(CAST(-LN(uc.n / CAST(tot.t AS DOUBLE)) AS DECIMAL(18,10))) AS s,
+        |    COUNT(*) AS n_tokens,
+        |    SUM(CASE WHEN uc.n < 10 THEN 1 ELSE 0 END) AS n_rare
+        |  FROM toks JOIN uc USING (w) CROSS JOIN tot GROUP BY doc_id)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+        |    CAST(s AS DOUBLE) / n_tokens DESC, doc_id) AS BIGINT) AS rk,
+        |  doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_rare AS BIGINT) AS n_rare
+        |FROM sc QUALIFY rk <= 30 ORDER BY rk""".stripMargin,
+    "q_pagerank" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |    FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+        |p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+        |p1 AS (SELECT e.dst AS node,
+        |    0.15 + 0.85 * CAST(SUM(CAST(p0.pr / deg.d AS DECIMAL(16,10)))
+        |      AS DOUBLE) AS pr
+        |  FROM e JOIN p0 ON e.src = p0.node JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |p2 AS (SELECT e.dst AS node,
+        |    0.15 + 0.85 * CAST(SUM(CAST(p1.pr / deg.d AS DECIMAL(16,10)))
+        |      AS DOUBLE) AS pr
+        |  FROM e JOIN p1 ON e.src = p1.node JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |p3 AS (SELECT e.dst AS node,
+        |    0.15 + 0.85 * CAST(SUM(CAST(p2.pr / deg.d AS DECIMAL(16,10)))
+        |      AS DOUBLE) AS pr
+        |  FROM e JOIN p2 ON e.src = p2.node JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY p3.pr DESC, p3.node)
+        |    AS BIGINT) AS rk,
+        |  p3.node AS part_key, CAST(deg.d AS BIGINT) AS degree, p3.pr AS pr
+        |FROM p3 JOIN deg ON deg.src = p3.node
+        |QUALIFY rk <= 30 ORDER BY rk""".stripMargin)
+}
