@@ -147,6 +147,23 @@ object Pipeline6 {
         .orderBy(col("rk"))
     },
 
+    // DataSource V2 generated dimension (sources/RangeSource): the scan
+    // absorbs the id bounds into partition planning (no splits outside
+    // [1000, 50000)) and prunes the payload column the query never
+    // touches. The aggregate is ordinary Catalyst on top of the custom
+    // connector. `dir` is unused — the source synthesizes its rows.
+    "q_dsv2_range" -> { (s, _) =>
+      s.read.format("graft.sources.RangeSource")
+        .option("start", "0").option("end", "100000")
+        .option("rowsPerSplit", "8192")
+        .load()
+        .filter(col("id") >= 1000 && col("id") < 50000)
+        .groupBy(col("mod7"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          min(col("hex")).as("hex_min"))
+        .orderBy(col("mod7"))
+    },
+
     // PageRank over the co-purchase graph (parts sharing an order).
     // Three Lloyd-style rounds of join+aggregate; contributions cross
     // the shuffle as exact DECIMAL(16,10), so the double chain
@@ -244,6 +261,13 @@ object Pipeline6 {
         |  doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(n_rare AS BIGINT) AS n_rare
         |FROM sc QUALIFY rk <= 30 ORDER BY rk""".stripMargin,
+    "q_dsv2_range" ->
+      """SELECT id % 7 AS mod7, COUNT(*) AS n,
+        |  CAST(SUM(id) AS BIGINT) AS sum_id,
+        |  MIN(UPPER(TO_HEX(id))) AS hex_min
+        |FROM range(0, 100000) t(id)
+        |WHERE id >= 1000 AND id < 50000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pagerank" ->
       """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         |    FROM lineitem a JOIN lineitem b

@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 generated-dimension source: a deterministic `[start,
+  * end)` integer range with derived columns, read with
+  * `spark.read.format("graft.sources.RangeSource")`.
+  *
+  * The point is the connector contract, not the data: the scan builder
+  * implements BOTH pushdown mix-ins —
+  *
+  *  - `SupportsPushDownFilters`: `id` bounds (`>`, `>=`, `<`, `<=`, `=`)
+  *    are absorbed into the generated range itself, so `planInputPartitions`
+  *    never creates splits outside the surviving span — the generated-
+  *    source analogue of partition pruning. Absorbed filters are removed
+  *    from the post-scan residual; everything else stays for Spark.
+  *  - `SupportsPushDownRequiredColumns`: readers compute only projected
+  *    columns — `SELECT id` never materializes the payload string.
+  *
+  * Scale: splits are `ceil(span / rowsPerSplit)` independent partitions,
+  * each a closed-form row generator (no state, no skew); a 10^12-row
+  * dimension plans into bounded splits and each executor synthesizes its
+  * slice locally — nothing is read or shuffled.
+  */
+class RangeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RangeSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = properties.asScala
+    new RangeTable(
+      opts.getOrElse("start", "0").toLong,
+      opts.getOrElse("end", "1000").toLong,
+      opts.getOrElse("rowsPerSplit", "100000").toLong)
+  }
+}
+
+object RangeSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("mod7", LongType, nullable = false),
+    StructField("hex", StringType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+}
+
+private[sources] class RangeTable(start: Long, end: Long, rowsPerSplit: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_range($start, $end)"
+  override def schema(): StructType = RangeSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RangeScanBuilder(start, end, rowsPerSplit)
+}
+
+private[sources] class RangeScanBuilder(start: Long, end: Long, rowsPerSplit: Long)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = start
+  private var hi = end // exclusive
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = RangeSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (absorbed, residual) = filters.partition {
+      case GreaterThan("id", v: Long) => { lo = math.max(lo, v + 1); true }
+      case GreaterThanOrEqual("id", v: Long) => { lo = math.max(lo, v); true }
+      case LessThan("id", v: Long) => { hi = math.min(hi, v); true }
+      case LessThanOrEqual("id", v: Long) => { hi = math.min(hi, v + 1); true }
+      case EqualTo("id", v: Long) =>
+        { lo = math.max(lo, v); hi = math.min(hi, v + 1); true }
+      case _ => false
+    }
+    pushed = absorbed
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new RangeScan(lo, math.max(lo, hi), rowsPerSplit, required)
+}
+
+private[sources] class RangeScan(lo: Long, hi: Long, rowsPerSplit: Long,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val span = hi - lo
+    val n = math.max(1L, (span + rowsPerSplit - 1) / rowsPerSplit)
+    (0L until n).map { i =>
+      RangeSplit(lo + i * rowsPerSplit, math.min(hi, lo + (i + 1) * rowsPerSplit),
+        required.fieldNames)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RangeReaderFactory
+}
+
+private[sources] case class RangeSplit(from: Long, until: Long,
+    columns: Array[String]) extends InputPartition
+
+private[sources] object RangeReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val s = p.asInstanceOf[RangeSplit]
+    new PartitionReader[InternalRow] {
+      private var cur = s.from - 1
+      override def next(): Boolean = { cur += 1; cur < s.until }
+      // compute only the projected columns — the pruning contract
+      override def get(): InternalRow = new GenericInternalRow(
+        s.columns.map[Any] {
+          case "id" => cur
+          case "mod7" => cur % 7
+          case "hex" => UTF8String.fromString(java.lang.Long.toHexString(cur).toUpperCase)
+          case "payload" => UTF8String.fromString(s"payload-$cur-" + "x" * 64)
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

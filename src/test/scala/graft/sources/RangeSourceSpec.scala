@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Connector-contract checks for the DSv2 RangeSource: values match the
+  * closed form, pushed id bounds clamp partition PLANNING (not just
+  * post-scan filtering), and column pruning reaches the reader.
+  */
+class RangeSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def src(start: Long, end: Long, rowsPerSplit: Long): DataFrame =
+    spark.read.format("graft.sources.RangeSource")
+      .option("start", start.toString).option("end", end.toString)
+      .option("rowsPerSplit", rowsPerSplit.toString)
+      .load()
+
+  private def scanOf(df: DataFrame) =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+
+  test("rows match the closed form") {
+    val rows = src(5, 12, 100).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === (5L to 11L))
+    assert(rows.map(_.getLong(1)).toSeq === (5L to 11L).map(_ % 7))
+    assert(rows.map(_.getString(2)).toSeq ===
+      (5L to 11L).map(java.lang.Long.toHexString(_).toUpperCase))
+  }
+
+  test("id bounds are absorbed into partition planning") {
+    // 10M rows at 1000/split would be 10k partitions; the pushed range
+    // [9000, 12000) must plan only its own ~3 splits.
+    val df = src(0, 10_000_000, 1000)
+      .filter(col("id") >= 9000 && col("id") < 12000)
+    val parts = scanOf(df).inputRDD.getNumPartitions
+    assert(parts <= 4, s"planned $parts partitions — pushdown not applied")
+    assert(df.count() === 3000)
+    // and the absorbed filters are no longer re-evaluated post-scan:
+    // an impossible residual range yields zero partitions' worth of rows
+    assert(src(0, 10_000_000, 1000).filter(col("id") < 0).count() === 0)
+  }
+
+  test("equality pushdown plans a single split") {
+    val df = src(0, 10_000_000, 1000).filter(col("id") === 1234567)
+    assert(scanOf(df).inputRDD.getNumPartitions === 1)
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(1234567L))
+  }
+
+  test("column pruning reaches the reader schema") {
+    val df = src(0, 100, 10).select(col("id"), col("mod7"))
+    val read = scanOf(df).scan.readSchema().fieldNames.toSet
+    assert(read === Set("id", "mod7"), s"reader got $read")
+  }
+
+  test("non-id residual filters stay with Spark and stay correct") {
+    val df = src(0, 1000, 100).filter(col("mod7") === 3 && col("id") < 500)
+    assert(df.count() === (0L until 500L).count(_ % 7 == 3))
+  }
+}
