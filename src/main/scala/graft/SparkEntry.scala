@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Extensions, Parity, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Pipeline6, Relational, Relational2}
+import graft.queries.{Extensions, Parity, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Pipeline6, Relational, Relational2, Relational3}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Parity.queries ++ Relational.queries ++ Relational2.queries ++
+    Parity.queries ++ Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Pipeline.queries ++ Pipeline2.queries ++ Pipeline3.queries ++
       Pipeline4.queries ++ Pipeline5.queries ++ Pipeline6.queries ++ Extensions.queries
 
@@ -26,7 +26,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Parity.oracle ++ Relational.oracle ++ Relational2.oracle ++
+    Parity.oracle ++ Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
       Pipeline.oracle ++ Pipeline2.oracle ++ Pipeline3.oracle ++
       Pipeline4.oracle ++ Pipeline5.oracle ++ Pipeline6.oracle ++ Extensions.oracle
 }

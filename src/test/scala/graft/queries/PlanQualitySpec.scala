@@ -169,4 +169,18 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(p.contains("Window"), s"$q should sweep via window\n$p")
     }
   }
+
+  test("q_tpch3/q_tpch10: top-N fuses to TakeOrderedAndProject") {
+    for (q <- Seq("q_tpch3", "q_tpch10")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q global-sorts\n$p")
+    }
+  }
+
+  test("q_tpch5: nation and region broadcast; date filter reaches scan") {
+    val p = plan("q_tpch5")
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"expected ≥2 broadcast joins (nation, region)\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+  }
 }
