@@ -38,6 +38,11 @@ object SparkEngine {
       // never flips mid-session; Tables.events keeps a lazy set as a
       // fallback for externally-built sessions (driver Verify/Bench).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Catalog-table sinks (Sinks.writeBucketed) land under a stable
+      // scratch root instead of ./spark-warehouse in whatever cwd the
+      // JVM happened to start in. Deployments override per cluster.
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
