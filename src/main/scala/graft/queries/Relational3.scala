@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Qs._
@@ -95,6 +96,49 @@ object Relational3 {
           col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    },
+
+    // CDC snapshot diff: per-user purchase state at two cutoffs, keyed
+    // left join new←old, each key classified added/changed/unchanged
+    // (removed can't occur on an append-only log — documented, not
+    // synthesized). The lakehouse "what changed since the last load"
+    // primitive; both snapshots are one keyed aggregation each.
+    "q_cdc_diff" -> { (s, dir) =>
+      val hv = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("value") > 150)
+      def snap(cut: String) = hv.filter(col("ts") < cut)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 12, 2).as("total"))
+      val s1 = snap("2024-01-20").as("s1")
+      val s2 = snap("2024-01-27").as("s2")
+      s2.join(s1, col("s1.user_id") === col("s2.user_id"), "left")
+        .select(
+          col("s2.user_id").as("user_id"),
+          when(col("s1.user_id").isNull, "added")
+            .when(col("s1.n") =!= col("s2.n"), "changed")
+            .otherwise("unchanged").as("change"),
+          col("s1.n").as("old_n"), col("s2.n").as("new_n"),
+          col("s1.total").as("old_total"), col("s2.total").as("new_total"))
+        .orderBy(col("user_id"))
+    },
+
+    // Exact rolling median over the trailing 7 events per user — the
+    // robust-statistics window (rolling mean is one outlier away from
+    // useless). collect_list over a ROWS frame keeps the state bounded
+    // by the frame, sort_array + middle elements give the exact median;
+    // identical list arithmetic on the DuckDB side.
+    "q_rolling_median" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+        .withColumn("l", sort_array(collect_list(col("value")).over(w)))
+        .select(col("event_id"), col("user_id"), col("value"),
+          ((element_at(col("l"), floor((size(col("l")) + 1) / 2).cast("int")) +
+            element_at(col("l"), (floor(size(col("l")) / 2) + 1).cast("int"))) / 2.0)
+            .as("roll_med"))
+        .orderBy(col("event_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -132,5 +176,33 @@ object Relational3 {
          |  AND o_orderdate >= TIMESTAMP '1996-10-01'
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
-         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_cdc_diff" ->
+      """WITH hv AS (SELECT * FROM events
+        |    WHERE event_type = 'purchase' AND value > 150),
+        |s1 AS (SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM hv WHERE ts < TIMESTAMP '2024-01-20' GROUP BY user_id),
+        |s2 AS (SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM hv WHERE ts < TIMESTAMP '2024-01-27' GROUP BY user_id)
+        |SELECT s2.user_id,
+        |  CASE WHEN s1.user_id IS NULL THEN 'added'
+        |       WHEN s1.n <> s2.n THEN 'changed' ELSE 'unchanged' END AS change,
+        |  s1.n AS old_n, s2.n AS new_n,
+        |  s1.total AS old_total, s2.total AS new_total
+        |FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+        |ORDER BY s2.user_id""".stripMargin,
+    "q_rolling_median" ->
+      """WITH ev AS (SELECT event_id, user_id, value, ts FROM events
+        |    WHERE value IS NOT NULL),
+        |w AS (SELECT event_id, user_id, value,
+        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+        |  FROM ev)
+        |SELECT event_id, user_id, value,
+        |  (l[CAST(FLOOR((len(l) + 1) / 2) AS INT)] +
+        |   l[CAST(FLOOR(len(l) / 2) + 1 AS INT)]) / 2.0 AS roll_med
+        |FROM w ORDER BY event_id""".stripMargin)
 }

@@ -39,27 +39,5 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
-  /** Bucketed + sorted parquet table (hash-bucketed on the join key,
-    * sorted within buckets) registered in the session catalog.
-    *
-    * THE repeated-join optimization at 100 TB: two tables bucketed the
-    * same way on the same key sort-merge-join with NO exchange and NO
-    * sort on either side — the shuffle is paid once at write time and
-    * amortized over every subsequent join/aggregation on that key.
-    * Bucket count is the write-time parallelism contract; pick it for
-    * the TARGET scale (e.g. 4096 buckets at 100 TB keeps ~25 GB per
-    * bucket of raw fact data, splittable by parquet row groups).
-    */
-  def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
-    // Pre-shuffle so each writer task owns exactly one bucket (Spark's
-    // bucket id uses the same hash): one file per bucket. With multiple
-    // files per bucket the reader must re-Sort before a merge join —
-    // one-file buckets make the join exchange-free AND sort-free.
-    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
-      .write.mode(mode)
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .format("parquet")
-      .saveAsTable(table)
+  // Bucketed+sorted table writes live in [[Buckets]].
 }

@@ -22,7 +22,16 @@ class BucketsSpec extends AnyFunSuite {
       assert(joined.count() === 100)
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SelectedBucketsCount: 4 out of 4"), plan)
+      // with one file per bucket (writeBucketed pre-shuffles to guarantee
+      // it) the sortBy metadata also removes the per-bucket Sort —
+      // opt-in since SPARK-28746 because multi-file buckets interleave
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val p2 = Buckets.bucketedJoin(spark, "bkt_a", "bkt_b", "k")
+        .queryExecution.executedPlan.toString
+      assert(!p2.contains("+- Sort ["), s"one-file buckets still re-sort\n$p2")
     } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS bkt_a")
       spark.sql("DROP TABLE IF EXISTS bkt_b")

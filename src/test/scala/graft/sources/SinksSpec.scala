@@ -51,40 +51,6 @@ class SinksSpec extends AnyFunSuite {
     assert(back.count() === 4)
   }
 
-  test("bucketed tables sort-merge-join with no exchange and no sort") {
-    val left = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
-      .select($"o_orderkey", $"o_totalprice")
-    val right = graft.Tables(spark, "/root/testdata/sf0.001", "lineitem")
-      .select($"l_orderkey", $"l_quantity")
-    Sinks.writeBucketed(left, "b_orders", "o_orderkey", buckets = 4)
-    Sinks.writeBucketed(right, "b_lineitem", "l_orderkey", buckets = 4)
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      // force the SMJ path so the assertion tests bucketing, not size
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      def joined = spark.table("b_orders").join(spark.table("b_lineitem"),
-        $"o_orderkey" === $"l_orderkey")
-      val p = joined.queryExecution.executedPlan.toString
-      assert(p.contains("SortMergeJoin"), p)
-      // the payoff: neither side shuffles — the network cost of the join
-      // was paid once at write time
-      assert(!p.contains("Exchange"), s"bucketed join still shuffles\n$p")
-      assert(p.contains("SelectedBucketsCount: 4 out of 4"), p)
-      assert(joined.count() === right.count())
-      // with one file per bucket (writeBucketed guarantees it) the
-      // sortBy metadata also removes the per-bucket Sort — opt-in since
-      // SPARK-28746 because multi-file buckets interleave
-      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      val p2 = joined.queryExecution.executedPlan.toString
-      assert(!p2.contains("+- Sort ["), s"one-file buckets still re-sort\n$p2")
-    } finally {
-      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    }
-  }
-
   test("jsonl sink writes one JSON object per row") {
     val out = s"${tempDir("sink")}/jsonl"
     Sinks.writeJsonl(docs, out)
