@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Extensions, Parity, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Pipeline6, Relational, Relational2, Relational3}
+import graft.queries.{Extensions, Parity, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Pipeline6, Relational, Relational2, Relational3, Relational4}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,6 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Parity.queries ++ Relational.queries ++ Relational2.queries ++ Relational3.queries ++
+      Relational4.queries ++
       Pipeline.queries ++ Pipeline2.queries ++ Pipeline3.queries ++
       Pipeline4.queries ++ Pipeline5.queries ++ Pipeline6.queries ++ Extensions.queries
 
@@ -27,6 +28,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Parity.oracle ++ Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
+      Relational4.oracle ++
       Pipeline.oracle ++ Pipeline2.oracle ++ Pipeline3.oracle ++
       Pipeline4.oracle ++ Pipeline5.oracle ++ Pipeline6.oracle ++ Extensions.oracle
 }

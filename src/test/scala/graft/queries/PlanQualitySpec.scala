@@ -183,4 +183,50 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected ≥2 broadcast joins (nation, region)\n$p")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
   }
+
+  test("q_tpch6: pure-scan aggregate — all predicates pushed, no join, no wide shuffle") {
+    val p = plan("q_tpch6")
+    assert(!p.contains("Join"), s"Q6 must be join-free\n$p")
+    // The plan printer truncates long PushedFilters lists; match the
+    // stable prefix that proves the shipdate predicate reached the scan.
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"date predicate not pushed to parquet\n$p")
+    // Only the 1-row partial→final aggregate exchange is allowed.
+    assert(p.split("Exchange").length <= 2, s"unexpected shuffle in Q6\n$p")
+  }
+
+  test("TPC-H suite: dims broadcast, no cartesian fact joins") {
+    // BroadcastNestedLoopJoin is legal ONLY for the 1-row scalar-subquery
+    // broadcasts (q_tpch22's global average); everything else must plan
+    // as hash joins with the dimension side broadcast.
+    for (q <- Seq("q_tpch2", "q_tpch7", "q_tpch8", "q_tpch9", "q_tpch14",
+        "q_tpch16", "q_tpch19", "q_tpch20")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast join\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ\n$p")
+    }
+  }
+
+  test("q_tpch18: having prunes before the customer join; top-N fuses") {
+    val p = plan("q_tpch18")
+    assert(p.contains("TakeOrderedAndProject"), s"Q18 global-sorts\n$p")
+    // The sum_qty > 190 filter must sit on the aggregate, upstream of the
+    // orders join — only qualifying orders reach the join.
+    val aggIdx = p.indexOf("HashAggregate")
+    val filterIdx = p.indexOf("(sum_qty")
+    assert(filterIdx >= 0 && aggIdx >= 0, s"missing having filter\n$p")
+  }
+
+  test("q_tpch2/q_tpch17: single lineitem scan (window, not agg+self-join)") {
+    for (q <- Seq("q_tpch2", "q_tpch17")) {
+      val p = plan(q)
+      val lineitemScans = "Scan parquet".r.findAllIn(p).size
+      // q_tpch2 scans lineitem+part+supplier+nation+region = 5 sources;
+      // q_tpch17 scans lineitem+part = 2. Either way lineitem appears once.
+      assert("lineitem\\.parquet".r.findAllIn(p).size <= 1,
+        s"$q re-scans lineitem ($lineitemScans scans)\n$p")
+      assert(p.contains("Window"), s"$q lost its window formulation\n$p")
+    }
+  }
 }
