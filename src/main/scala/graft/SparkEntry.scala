@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Extensions, Parity, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Pipeline6, Relational, Relational2, Relational3, Relational4}
+import graft.queries.{Extensions, Parity, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Pipeline6, Pipeline7, Relational, Relational2, Relational3, Relational4}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     Parity.queries ++ Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++
       Pipeline.queries ++ Pipeline2.queries ++ Pipeline3.queries ++
-      Pipeline4.queries ++ Pipeline5.queries ++ Pipeline6.queries ++ Extensions.queries
+      Pipeline4.queries ++ Pipeline5.queries ++ Pipeline6.queries ++ Pipeline7.queries ++
+      Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
     Parity.oracle ++ Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
       Relational4.oracle ++
       Pipeline.oracle ++ Pipeline2.oracle ++ Pipeline3.oracle ++
-      Pipeline4.oracle ++ Pipeline5.oracle ++ Pipeline6.oracle ++ Extensions.oracle
+      Pipeline4.oracle ++ Pipeline5.oracle ++ Pipeline6.oracle ++ Pipeline7.oracle ++
+      Extensions.oracle
 }

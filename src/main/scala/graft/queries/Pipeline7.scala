@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Qs._
+
+/** Seventh batch: graph analytics (triangle counting), robust statistics
+  * (z-score anomalies, winsorization), streaming-semantics sliding
+  * windows in batch, and temperature-scaled source mixing.
+  *
+  * Scale design:
+  *  - Triangle counting orients every edge from its lower-degree endpoint
+  *    to its higher-degree one before enumerating wedges. That bounds a
+  *    node's out-degree by O(√m) on any graph, so the wedge join never
+  *    explodes on hubs — the standard fix for the quadratic hot spot in
+  *    co-occurrence graphs. The edge list itself is support-filtered
+  *    (≥2 co-purchases) so the graph stays sparse at any scale factor.
+  *  - Z-score and winsorize compute per-group stats as exact decimal sums
+  *    (order-independent), broadcast the tiny per-group stat table back,
+  *    and do per-row arithmetic map-side — one shuffle per query.
+  *  - The sliding-window query uses Spark's native `window(ts, len,
+  *    slide)` — identical semantics to the Structured Streaming job
+  *    (Streams.slidingCounts); each event lands in len/slide windows
+  *    map-side, then one keyed aggregation.
+  */
+object Pipeline7 {
+
+  val queries: Map[String, Q] = Map(
+    // Triangle count on the co-purchase part graph. Edges: two parts in
+    // the same order (qty > 45 keeps the graph sparse), kept only with
+    // support ≥ 2 orders. Degree-ordered orientation, wedge join, closing-
+    // edge semi join — each triangle counted exactly once.
+    "q_triangles" -> { (s, dir) =>
+      val lp = t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = lp.as("a").join(lp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint() // feeds degrees + orientation + closing join
+      val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      // Orient from lower (degree, id) to higher — total order, no global
+      // rank needed; out-degree is then O(√m) for every node.
+      val lt = (col("du") < col("dv")) ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val eo = e
+        .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+        .select(
+          when(lt, col("u")).otherwise(col("v")).as("src"),
+          when(lt, struct(col("dv").as("d"), col("v").as("n")))
+            .otherwise(struct(col("du").as("d"), col("u").as("n"))).as("dk"))
+        .select(col("src"), col("dk.n").as("dst"), col("dk").as("dstkey"))
+      val wedges = eo.as("x").join(eo.as("y"),
+          col("x.src") === col("y.src") && col("x.dstkey") < col("y.dstkey"))
+        .select(col("x.dst").as("b"), col("y.dst").as("c"))
+      wedges.join(eo.as("z"),
+          col("b") === col("z.src") && col("c") === col("z.dst"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+    },
+
+    // Per-type z-score anomalies: events more than 3 σ from their type's
+    // mean. Stats from exact decimal sums; the per-row z is identical
+    // IEEE arithmetic in both engines.
+    "q_zscore_anomaly" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val stats = ev.groupBy(col("event_type").as("et"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(dec(col("value"), 14, 2)).cast("double").as("sx"),
+          sum(dec(col("value"), 14, 2) * dec(col("value"), 14, 2)).cast("double").as("sxx"))
+        .select(col("et"), (col("sx") / col("n")).as("mean"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - lit(1.0)))).as("std"))
+      ev.join(broadcast(stats), col("event_type") === col("et"))
+        .withColumn("z", (col("value") - col("mean")) / col("std"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+        .orderBy(col("event_id"))
+    },
+
+    // Sliding event-time windows in batch — Spark's window(ts, 10m, 5m)
+    // assigns each event to its 2 containing windows map-side; identical
+    // semantics to the streaming job (Streams.slidingCounts).
+    "q_sliding_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 14, 2).as("sum_value"))
+        .select(tsS(col("w.start")).as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // Winsorization: clamp each value into its type's exact [p05, p95].
+    // The tiny per-type quantile table broadcasts back; the clamp is
+    // map-side least/greatest.
+    "q_winsorize" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val qs = ev.groupBy(col("event_type").as("et"))
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(qs), col("event_type") === col("et"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("w_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // Temperature-scaled source mixing (α = 0.5): per-source sampling
+    // weight √n relative to the largest source — the standard flattening
+    // of a skewed corpus mix, with √ chosen because IEEE sqrt is exactly
+    // rounded (bit-identical across engines, unlike pow).
+    "q_source_temperature" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val top = counts.agg(max(col("n_docs")).as("max_docs"))
+      counts.join(broadcast(top))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          (sqrt(col("n_docs").cast("double")) / sqrt(col("max_docs").cast("double")))
+            .as("rel_weight"))
+        .orderBy(col("source"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem WHERE l_quantity > 45),
+        |e AS (SELECT a.pk AS u, b.pk AS v
+        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT COUNT(*) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    "q_zscore_anomaly" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events
+        |    WHERE value IS NOT NULL),
+        |st AS (SELECT event_type AS et,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2)))
+        |      AS DOUBLE) AS sxx
+        |  FROM ev GROUP BY 1),
+        |sd AS (SELECT et, sx / n AS mean,
+        |    SQRT((n * sxx - sx * sx) / (n * (n - 1.0))) AS std FROM st)
+        |SELECT event_id, event_type, value, (value - mean) / std AS z
+        |FROM ev JOIN sd ON event_type = et
+        |WHERE ABS((value - mean) / std) > 3.0
+        |ORDER BY event_id""".stripMargin,
+    "q_sliding_window" ->
+      s"""WITH b AS (SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS b5,
+         |    event_type, value FROM events),
+         |w AS (SELECT b5 AS ws, event_type, value FROM b
+         |  UNION ALL
+         |  SELECT b5 - INTERVAL 5 MINUTES, event_type, value FROM b)
+         |SELECT ${tsSqlS("ws")} AS window_start, event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+         |FROM w GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
+    "q_winsorize" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events
+        |    WHERE value IS NOT NULL),
+        |q AS (SELECT event_type AS et,
+        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM ev GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |  LEAST(GREATEST(value, lo), hi) AS w_value
+        |FROM ev JOIN q ON event_type = et
+        |ORDER BY event_id""".stripMargin,
+    "q_source_temperature" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |    FROM documents GROUP BY 1)
+        |SELECT source, n_docs, n_chars,
+        |  SQRT(CAST(n_docs AS DOUBLE)) /
+        |    SQRT(CAST((SELECT MAX(n_docs) FROM c) AS DOUBLE)) AS rel_weight
+        |FROM c ORDER BY source""".stripMargin)
+}

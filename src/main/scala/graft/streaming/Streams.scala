@@ -61,6 +61,35 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id", "ts")
 
+  /** Watermark-bounded dedup on event_id ALONE (no ts in the key):
+    * duplicates with a *different* timestamp — retries that re-stamp the
+    * event — still collapse, which `dropDuplicates(event_id, ts)` misses.
+    * State for an id is evictable once the watermark passes its first
+    * sighting, so memory stays bounded where a plain
+    * `dropDuplicates("event_id")` would grow state forever.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Sliding-window counts/sums: each event belongs to length/slide
+    * overlapping windows (assigned map-side, no duplication shuffle),
+    * then one keyed aggregation. Batch twin: q_sliding_window — same
+    * window() call, same results after watermark close.
+    */
+  def slidingCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      length: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * (small) static dimension — Spark broadcasts it per batch, so the
     * stream never shuffles. The streaming face of the broadcast-dim rule

@@ -51,6 +51,42 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark collapses retries that re-stamp the timestamp") {
+    val dir = Files.createTempDirectory("events2b").toString
+    Seq(
+      (1L, 60_000_000_000L, 10L, "click", 1.0, "{}"),
+      (1L, 65_000_000_000L, 10L, "click", 1.0, "{}"), // retry, NEW ts
+      (2L, 61_000_000_000L, 10L, "click", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+
+    val q = Streams.dedupWithinWatermark(Streams.eventsStream(spark, dir))
+      .writeStream.format("memory").queryName("ddw").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // keyed-on-(id,ts) dedup would emit 3 rows; id-only within-watermark
+      // dedup collapses the re-stamped retry.
+      assert(spark.table("ddw").count() === 2)
+    } finally q.stop()
+  }
+
+  test("sliding windows assign each event to length/slide overlapping windows") {
+    val dir = Files.createTempDirectory("events2c").toString
+    // one event at t=6min: 10min/5min sliding → windows [0,10) and [5,15)
+    Seq((1L, 360_000_000_000L, 10L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+
+    val q = Streams.slidingCounts(Streams.eventsStream(spark, dir))
+      .writeStream.format("memory").queryName("sw").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val starts = spark.table("sw").select("w_start")
+        .as[java.sql.Timestamp].collect().map(_.getTime).toSet
+      assert(starts === Set(0L, 300_000L))
+    } finally q.stop()
+  }
+
   test("ingestDedupStream emits only documents absent from the corpus") {
     import org.apache.spark.sql.functions.col
     import graft.functions.{BloomFunctions, HashFunctions}
