@@ -114,6 +114,27 @@ object Pipeline7 {
         .orderBy(col("event_id"))
     },
 
+    // Incremental aggregate maintenance: the base (pre-cutoff) partial
+    // aggregate merges with the delta's via sum-of-sums / sum-of-counts —
+    // no rescan of base data. The oracle computes the full aggregate from
+    // scratch, so a green row proves merged == recomputed (the algebraic-
+    // aggregate property that makes incremental view maintenance sound).
+    "q_incr_agg" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"), col("ts"))
+      def partial(f: org.apache.spark.sql.DataFrame) =
+        f.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"), 14, 2)).as("total"))
+      val base = partial(ev.filter(col("ts") < "2024-01-20"))
+      val delta = partial(ev.filter(col("ts") >= "2024-01-20"))
+      base.union(delta)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n"), sum(col("total")).cast("double").as("total"))
+        .withColumn("avg_value", col("total") / col("n").cast("double"))
+        .orderBy(col("user_id"))
+    },
+
     // Temperature-scaled source mixing (α = 0.5): per-source sampling
     // weight √n relative to the largest source — the standard flattening
     // of a skewed corpus mix, with √ chosen because IEEE sqrt is exactly
@@ -174,6 +195,13 @@ object Pipeline7 {
         |  LEAST(GREATEST(value, lo), hi) AS w_value
         |FROM ev JOIN q ON event_type = et
         |ORDER BY event_id""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_source_temperature" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_docs,
         |    CAST(SUM(n_chars) AS BIGINT) AS n_chars

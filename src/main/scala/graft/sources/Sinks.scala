@@ -39,5 +39,16 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** Partitioned ORC — the other columnar lake format Spark ships a
+    * vectorized reader for. Same pruning/pushdown properties as parquet
+    * (stripe-level min/max stats); interoperates with Hive-era lakes.
+    */
+  def writeOrc(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   // Bucketed+sorted table writes live in [[Buckets]].
 }

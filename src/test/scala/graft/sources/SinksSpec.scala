@@ -43,6 +43,20 @@ class SinksSpec extends AnyFunSuite {
     assert(!read.contains("lang=de") && !read.contains("lang=fr"), read)
   }
 
+  test("orc sink: partitioned layout, pruning, predicate pushdown to stripes") {
+    val out = s"${tempDir("sink")}/docs_orc"
+    Sinks.writeOrc(docs, out, partitionBy = Seq("lang"))
+    for (lang <- Seq("en", "de", "fr"))
+      assert(Files.isDirectory(Paths.get(out, s"lang=$lang")), s"lang=$lang dir")
+    val back = spark.read.orc(out)
+    assert(back.select("doc_id", "lang", "text").except(docs).count() === 0)
+    val q = back.filter($"lang" === "en" && $"doc_id" > 1L)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,1)"), scan)
+    assert(q.count() === 1)
+  }
+
   test("csv sink writes a header and round-trips with inference") {
     val out = s"${tempDir("sink")}/csv"
     Sinks.writeCsv(docs.select($"doc_id", $"text"), out)
