@@ -114,6 +114,27 @@ object Pipeline7 {
         .orderBy(col("event_id"))
     },
 
+    // Exponentially weighted moving average over each user's trailing 16
+    // events: ewma = 0.5·ewma_prev + 0.5·x, seeded with the oldest frame
+    // element. A fixed-order left fold over the frame list — Spark's
+    // aggregate() HOF and DuckDB's list_reduce fold identically, and
+    // α = 0.5 keeps every multiply exact-rounded IEEE, so the result is
+    // bit-identical. Frame bounded at 16 rows → state O(1) per row at
+    // any scale (an unbounded-preceding list would grow with history).
+    "q_ewma" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-15, 0)
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+        .withColumn("l", collect_list(col("value")).over(w))
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("aggregate(slice(l, 2, size(l) - 1), element_at(l, 1)," +
+            " (acc, x) -> acc * 0.5d + x * 0.5d)").as("ewma"))
+        .orderBy(col("event_id"))
+    },
+
     // Incremental aggregate maintenance: the base (pre-cutoff) partial
     // aggregate merges with the delta's via sum-of-sums / sum-of-counts —
     // no rescan of base data. The oracle computes the full aggregate from
@@ -195,6 +216,17 @@ object Pipeline7 {
         |  LEAST(GREATEST(value, lo), hi) AS w_value
         |FROM ev JOIN q ON event_type = et
         |ORDER BY event_id""".stripMargin,
+    "q_ewma" ->
+      """WITH ev AS (SELECT event_id, user_id, value, ts FROM events
+        |    WHERE value IS NOT NULL),
+        |w AS (SELECT event_id, user_id, value,
+        |    list(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+        |  FROM ev)
+        |SELECT event_id, user_id, value,
+        |  list_reduce(l, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+        |FROM w ORDER BY event_id""".stripMargin,
     "q_incr_agg" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total,
