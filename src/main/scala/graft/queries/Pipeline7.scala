@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashFunctions.{md5fast => md5f}
 import Qs._
 
 /** Seventh batch: graph analytics (triangle counting), robust statistics
@@ -114,6 +116,53 @@ object Pipeline7 {
         .orderBy(col("event_id"))
     },
 
+    // Cross-source contamination matrix: for every source pair, how many
+    // distinct 10-token passages they share. The per-(hash, source)
+    // distinct bounds the self-join at C(#sources, 2) rows per passage —
+    // boilerplate shared by every source costs 190 pairs, not n².
+    // Shuffles move 32-byte hashes, never text.
+    "q_source_overlap" -> { (s, dir) =>
+      val hs = t(s, dir, "documents")
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, CAST((size(split(text, ' ')) + 9) DIV 10 AS INT) - 1), " +
+            "i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))"))
+          .as("passage"))
+        .select(md5f(col("passage")).as("h"), col("source"))
+        .distinct()
+      hs.as("a").join(hs.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(countDistinct(col("a.h")).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("src_a"), col("src_b"))
+    },
+
+    // Content-defined chunking (the storage-dedup boundary trick, on
+    // text): a boundary opens wherever the rolling 4-token hash starts
+    // with 0 or 1 (hex → P ≈ 1/8, mean chunk ≈ 8 tokens), so chunk
+    // edges survive insertions/deletions that shift token positions —
+    // unlike fixed-width passages. Emits chunks repeated across the
+    // corpus. All windows partition by doc_id: per-document work,
+    // embarrassingly parallel at corpus scale.
+    "q_cdc_chunks" -> { (s, dir) =>
+      val wg = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(-3, 0)
+      val wc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("h", md5f(concat_ws(" ", collect_list(col("tok")).over(wg))))
+        .withColumn("bd", when(col("pos") >= 3 &&
+          substring(col("h"), 1, 1).isin("0", "1"), 1).otherwise(0))
+        .withColumn("cid", sum(col("bd")).over(wc))
+        .groupBy(col("doc_id"), col("cid"))
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"), " ")
+          .as("chunk"))
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n") >= 2)
+        .orderBy(col("n").desc, col("chunk"))
+        .limit(50)
+    },
+
     // Exponentially weighted moving average over each user's trailing 16
     // events: ewma = 0.5·ewma_prev + 0.5·x, seeded with the oldest frame
     // element. A fixed-order left fold over the frame list — Spark's
@@ -216,6 +265,37 @@ object Pipeline7 {
         |  LEAST(GREATEST(value, lo), hi) AS w_value
         |FROM ev JOIN q ON event_type = et
         |ORDER BY event_id""".stripMargin,
+    "q_source_overlap" ->
+      """WITH p AS (SELECT source, unnest(
+        |    list_transform(range((len(string_split(text, chr(32))) + 9) // 10),
+        |      i -> array_to_string(
+        |        list_slice(string_split(text, chr(32)), i * 10 + 1, i * 10 + 10),
+        |        chr(32)))) AS passage
+        |  FROM documents),
+        |hs AS (SELECT DISTINCT md5(passage) AS h, source FROM p)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  COUNT(DISTINCT a.h) AS n_shared
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY n_shared DESC, src_a, src_b""".stripMargin,
+    "q_cdc_chunks" ->
+      """WITH toks AS (SELECT doc_id,
+        |    generate_subscripts(string_split(text, chr(32)), 1) AS pos,
+        |    unnest(string_split(text, chr(32))) AS tok
+        |  FROM documents),
+        |g AS (SELECT doc_id, pos, tok, md5(string_agg(tok, chr(32)) OVER
+        |    (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS h
+        |  FROM toks),
+        |b AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN pos >= 4 AND left(h, 1) IN ('0','1') THEN 1 ELSE 0 END AS bd
+        |  FROM g),
+        |c AS (SELECT doc_id, pos, tok,
+        |    SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos) AS cid FROM b),
+        |ch AS (SELECT doc_id, cid,
+        |    string_agg(tok, chr(32) ORDER BY pos) AS chunk FROM c GROUP BY 1, 2)
+        |SELECT chunk, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM ch GROUP BY chunk HAVING COUNT(*) >= 2
+        |ORDER BY n DESC, chunk LIMIT 50""".stripMargin,
     "q_ewma" ->
       """WITH ev AS (SELECT event_id, user_id, value, ts FROM events
         |    WHERE value IS NOT NULL),
