@@ -37,6 +37,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark's runtime filters use, but callable explicitly —
     //   SELECT graft_bloom_agg(xxhash64(k), 1000000, 8000000) FROM corpus
     //   ... WHERE graft_might_contain(:filter, xxhash64(k))
+    // KMV distinct-count sketch (TypedImperativeAggregate):
+    //   SELECT graft_kmv(CAST(k AS STRING), 4096) FROM t
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketch].getName, "graft_kmv"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv: k must be an integer literal, got $other")
+        }
+        graft.functions.KmvSketch(args.head, k).toAggregateExpression()
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
