@@ -153,6 +153,97 @@ object Similarity {
       k)
   }
 
+  /** Long-format sub-vectors for product quantization: one row per
+    * (vec_id, subspace), with the same round-to-3-decimals quantized
+    * twins as [[quantized]] so Lloyd means stay exact and order-free.
+    */
+  private def pqSubvectors(e: DataFrame, m: Int, subDim: Int): DataFrame =
+    e.select(col("vec_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("emb"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "subemb")))
+      .withColumn("qsub", expr("transform(subemb, v -> ROUND(v, 3))"))
+      .withColumn("qd", expr("transform(subemb, v -> CAST(ROUND(v, 3) AS DECIMAL(10,3)))"))
+
+  /** Nearest codebook entry per (vector, subspace) by L2 distance over
+    * the quantized sub-vectors. Codebooks broadcast (m·ks rows); the
+    * assignment is a narrow map-side pass at any corpus size.
+    */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("__d2"), col("c_id"))
+    subs.join(broadcast(cents), Seq("sub"))
+      .withColumn("__d2",
+        dot(col("qsub"), col("qsub")) - lit(2.0) * dot(col("qsub"), col("c_emb"))
+          + dot(col("c_emb"), col("c_emb")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__d2", "__rk", "c_emb")
+  }
+
+  /** Per-subspace codebooks: `ks` seed entries (lowest vec_ids) refined
+    * by `iters` Lloyd rounds — [[ivfCentroids]] generalized with the
+    * subspace as an extra key. Means over DECIMAL quantized values:
+    * exact, shuffle-order-free, SQL-replayable.
+    */
+  def pqCodebooks(subs: DataFrame, ks: Int, iters: Int): DataFrame = {
+    var cents = subs.filter(col("vec_id") < ks)
+      .select(col("sub"), col("vec_id").as("c_id"), col("subemb").as("c_emb"))
+    for (_ <- 1 to iters) {
+      val dims = pqAssign(subs, cents)
+        .select(col("sub"), col("c_id").as("cell"),
+          posexplode(col("qd")).as(Seq("pos", "qv")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg((sum(col("qv")).cast("double") / count(lit(1))).as("cv"))
+      cents = dims.groupBy(col("sub"), col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+          .as("c_emb"))
+        .select(col("sub"), col("cell").as("c_id"), col("c_emb"))
+        .localCheckpoint() // m·ks rows; truncate the per-round lineage
+    }
+    cents
+  }
+
+  /** Product-quantization ANN with asymmetric distance computation (ADC):
+    * corpus vectors compress to m codebook ids (m·log2(ks) bits per
+    * vector — the memory story that makes billion-scale ANN fit);
+    * each query precomputes dot(query_sub, centroid) lookup tables
+    * (m·ks values, broadcast), and a corpus row's approximate dot is the
+    * sum of m table lookups — no full-vector arithmetic in the scan.
+    * The per-query sum folds through DECIMAL(20,9) so the 4-term
+    * summation is order-free and the ranking reproducible everywhere.
+    *
+    * The scan shape at scale: codes (m rows/vector, integer ids) join a
+    * broadcast table of nQueries·m·ks doubles, then a (query, vector)
+    * keyed sum — shuffle volume is codes × nQueries, never touching the
+    * original vectors. Exactness is delegated to a rerank stage when
+    * needed (cf. `q_rerank`); this operator IS the recall/memory
+    * trade-off.
+    */
+  def pqAdcKnn(embeddings: DataFrame, m: Int, subDim: Int, ks: Int,
+      iters: Int, nQueries: Int, k: Int): DataFrame = {
+    val subs = pqSubvectors(embeddings, m, subDim)
+    val books = pqCodebooks(subs, ks, iters)
+    val codes = pqAssign(subs, books)
+      .select(col("vec_id"), col("sub"), col("c_id").as("code"))
+    val tab = subs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("subemb"))
+      .join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("c_id"),
+        dot(col("subemb"), col("c_emb")).as("t"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("appx").desc, col("neighbor_id"))
+    codes.join(broadcast(tab),
+        codes("sub") === tab("sub") && codes("code") === tab("c_id") &&
+          codes("vec_id") =!= tab("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("t").cast("decimal(20,9)")).as("appx"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("appx").cast("double").as("approx_dot"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** ANN top-k restricted to sign-LSH buckets. Recall < 1 by design;
     * cheap at scale (pair space divided by ~2^bits for centered data).
     */

@@ -50,6 +50,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.KmvSketch(args.head, k).toAggregateExpression()
       }))
+    // Misra–Gries heavy-hitter candidates (TypedImperativeAggregate):
+    //   SELECT graft_heavy_hitters(term, 512) FROM toks
+    ext.injectFunction((
+      new FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "graft_heavy_hitters"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_hitters: k must be an integer literal, got $other")
+        }
+        graft.functions.MisraGries(args.head, k).toAggregateExpression()
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGries
+import Qs._
+
+/** Eighth batch: sketch-driven exact heavy hitters, PPS (probability-
+  * proportional-to-size) systematic sampling on an exact distributed
+  * prefix sum, time-weighted averages, and the Spark 4 VARIANT path for
+  * semi-structured data.
+  *
+  * Scale design:
+  *  - Heavy hitters is the canonical two-pass shape: pass 1 merges O(k)
+  *    Misra–Gries partial sketches (no-false-negative candidate set for
+  *    any support ≥ N/(k+1)); pass 2 semi-joins the corpus on the
+  *    broadcast candidates and counts exactly. The exact-count shuffle
+  *    carries only candidate-term rows (≤ k distinct keys) — the full
+  *    vocabulary (the unbounded thing at 100 TB) never shuffles.
+  *  - PPS sampling needs a global prefix sum of weights — the classic
+  *    distributed scan. Rows bucket into key-derived blocks; block sums
+  *    (tiny) get running offsets in one single-partition window pass;
+  *    rows then cumsum WITHIN their block in parallel, plus the block
+  *    offset. Block ids derive from the key, not a partitioner, so the
+  *    result is a pure function of the data. At petabyte scale the block
+  *    layer recurses (blocks-of-blocks) to keep the offset window small;
+  *    one level suffices for any 10^9-block table. Selection arithmetic
+  *    is integer cents — exact, no libm, oracle-identical.
+  *  - TWAP holds each observation until the next one (step function) and
+  *    weights exactly: decimal(value) × micros products, summed exactly,
+  *    one double division at the end. One shuffle (the per-user window).
+  *  - VARIANT parses once into Spark's binary variant encoding; typed
+  *    `variant_get` paths replace per-row string re-parsing — the Spark 4
+  *    answer to JSON-heavy event pipelines.
+  */
+object Pipeline8 {
+
+  val queries: Map[String, Q] = Map(
+    // All whitespace tokens with support ≥ 0.5% of the corpus, EXACTLY,
+    // without ever shuffling the full vocabulary: Misra–Gries candidates
+    // (k=512 ⇒ guaranteed recall at support ≥ N/513 > N/200), broadcast
+    // semi-join, exact recount of candidates only.
+    "q_heavy_hitters" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+      val stats = toks
+        .agg(count(lit(1)).as("total"),
+          MisraGries.candidates(col("term"), 512).as("cands"))
+        .localCheckpoint() // 1 row; feeds two sides below
+      val cands = stats.select(explode(col("cands")).as("term"))
+      toks.join(broadcast(cands), Seq("term"), "left_semi")
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(stats.select(col("total"))))
+        .filter(col("n") * 200L >= col("total"))
+        .select(col("term"), col("n"))
+        .orderBy(col("n").desc, col("term"))
+    },
+
+    // PPS systematic sample of 100 orders: sample points sit at
+    // (2j+1)·W/200 along the cumulative-weight axis; an order is drawn
+    // once per point inside its (cum-w, cum] span (big orders can be
+    // drawn multiple times — standard PPS-with-replacement semantics).
+    // Integer cents arithmetic end to end: both engines compute the
+    // identical longs, so selection is exact, not approximately equal.
+    "q_sample_weighted" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("w"))
+      // Distributed scan: key-derived blocks → block sums → running
+      // offsets (window over the tiny block table) → per-block cumsum.
+      val blocked = o.withColumn("blk", expr("o_orderkey div 4096"))
+      val offs = blocked.groupBy(col("blk")).agg(sum(col("w")).as("bsum"))
+        .withColumn("off",
+          coalesce(sum(col("bsum")).over(
+            Window.orderBy(col("blk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .localCheckpoint() // ≤ keyspace/4096 rows
+      val tot = offs.agg(sum(col("bsum")).as("tot"))
+      blocked.join(broadcast(offs.select(col("blk"), col("off"))), Seq("blk"))
+        .withColumn("cum", col("off") + sum(col("w")).over(
+          Window.partitionBy(col("blk")).orderBy(col("o_orderkey"))))
+        .crossJoin(broadcast(tot))
+        // k(c) = #{ j ≥ 0 : (2j+1)·W ≤ 200·c } — sample points at or
+        // below cumulative weight c; draws for this row = k(cum)-k(cum-w).
+        .withColumn("k1", when(lit(200L) * col("cum") >= col("tot"),
+          expr("(200*cum - tot) div (2*tot) + 1")).otherwise(0L))
+        .withColumn("k0", when(lit(200L) * (col("cum") - col("w")) >= col("tot"),
+          expr("(200*(cum-w) - tot) div (2*tot) + 1")).otherwise(0L))
+        .withColumn("n_draws", col("k1") - col("k0"))
+        .filter(col("n_draws") >= 1L)
+        .select(col("o_orderkey"), col("w"), col("n_draws"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Time-weighted average of the step function that holds each event's
+    // value until the user's next event. Exact decimal value×duration
+    // products; the only double op is the final division of two exactly-
+    // matching sums. Ties in ts break on event_id in both engines — with
+    // equal timestamps the zero-length segment must land on the same row.
+    // Weights are MILLISECONDS (identical floor-division of the micros
+    // delta in both engines): with micros the numerator's unscaled
+    // decimal passes 2^53 and the decimal→double conversion is no longer
+    // exact — the one place the two engines may round differently.
+    "q_twap" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("dur_us", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dur_us").isNotNull)
+        .withColumn("dur_ms", expr("dur_us div 1000"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_segments"),
+          sum(col("dur_us")).as("held_us"),
+          (sum(dec(col("value"), 14, 2) * col("dur_ms")).cast("double") /
+            sum(col("dur_ms")).cast("double")).as("twap"))
+        .orderBy(col("user_id"))
+    },
+
+    // Product-quantization ANN with ADC lookup tables: corpus vectors
+    // compress to 8 codebook ids (32 bits/vector vs 64×8 bytes raw);
+    // queries (vec_id < 30) score the whole corpus via 8 table lookups
+    // per vector. Codebooks are per-subspace k-means with exact-decimal
+    // Lloyd means, so the whole construction — codes, tables, ranking —
+    // is reproducible bit-for-bit by the SQL oracle. See
+    // Similarity.pqAdcKnn.
+    "q_embed_pq" -> { (s, dir) =>
+      graft.operators.Similarity.pqAdcKnn(
+        graft.operators.Similarity.withNorm(t(s, dir, "embeddings")),
+        m = 8, subDim = 8, ks = 16, iters = 1, nQueries = 30, k = 5)
+    },
+
+    // Spark 4 VARIANT: parse the JSON props column once into the binary
+    // variant encoding, then extract typed paths — no per-row string
+    // re-parsing downstream. `schema_of_variant` proves the stored shape.
+    "q_variant" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"),
+          col("event_type"), col("value"))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.k", "long").as("k_val"),
+          schema_of_variant(col("v")).as("vschema"),
+          // Round-trip: row → JSON → variant → typed path.
+          variant_get(
+            parse_json(to_json(struct(col("event_type"), col("value")))),
+            "$.event_type", "string").as("etype_rt"))
+        .orderBy(col("event_id"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH toks AS
+        |  (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+        |SELECT term, COUNT(*) AS n FROM toks
+        |GROUP BY term
+        |HAVING COUNT(*) * 200 >= (SELECT COUNT(*) FROM toks)
+        |ORDER BY n DESC, term""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w FROM orders),
+        |c AS (SELECT o_orderkey, w,
+        |    SUM(w) OVER (ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER () AS tot FROM o),
+        |d AS (SELECT o_orderkey, w,
+        |    CAST((CASE WHEN 200*cum >= tot
+        |       THEN (200*cum - tot) // (2*tot) + 1 ELSE 0 END)
+        |  - (CASE WHEN 200*(cum-w) >= tot
+        |       THEN (200*(cum-w) - tot) // (2*tot) + 1 ELSE 0 END) AS BIGINT)
+        |      AS n_draws
+        |  FROM c)
+        |SELECT o_orderkey, w, n_draws FROM d
+        |WHERE n_draws >= 1 ORDER BY o_orderkey""".stripMargin,
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, value
+        |    FROM events),
+        |seg AS (SELECT user_id, value,
+        |    LEAD(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+        |      AS dur_us
+        |  FROM e),
+        |ms AS (SELECT user_id, value, dur_us, dur_us // 1000 AS dur_ms
+        |  FROM seg WHERE dur_us IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_segments,
+        |  CAST(SUM(dur_us) AS BIGINT) AS held_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2)) * dur_ms) AS DOUBLE)
+        |    / CAST(SUM(dur_ms) AS DOUBLE) AS twap
+        |FROM ms
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // PQ unrolled in SQL exactly like the q_embed_ivf oracle: seeds →
+    // one Lloyd round per subspace → codes → ADC tables → decimal-summed
+    // ranking. Subspaces are the four 16-element slices of the vector.
+    "q_embed_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, 0 AS sub, emb[1:8] AS subemb FROM e
+        |  UNION ALL SELECT vec_id, 1, emb[9:16] FROM e
+        |  UNION ALL SELECT vec_id, 2, emb[17:24] FROM e
+        |  UNION ALL SELECT vec_id, 3, emb[25:32] FROM e
+        |  UNION ALL SELECT vec_id, 4, emb[33:40] FROM e
+        |  UNION ALL SELECT vec_id, 5, emb[41:48] FROM e
+        |  UNION ALL SELECT vec_id, 6, emb[49:56] FROM e
+        |  UNION ALL SELECT vec_id, 7, emb[57:64] FROM e),
+        |sq AS (SELECT vec_id, sub, subemb,
+        |    list_transform(subemb, v -> ROUND(v, 3)) AS qsub,
+        |    list_transform(subemb, v -> CAST(ROUND(v, 3) AS DECIMAL(10,3)))
+        |      AS qd
+        |  FROM s),
+        |c0 AS (SELECT sub, vec_id AS c_id, subemb AS c_emb FROM s
+        |  WHERE vec_id < 16),
+        |a1 AS (SELECT vec_id, sub, qd, c_id AS cell FROM (
+        |  SELECT v.vec_id, v.sub, v.qd, c.c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+        |      list_inner_product(v.qsub, v.qsub)
+        |        - 2 * list_inner_product(v.qsub, c.c_emb)
+        |        + list_inner_product(c.c_emb, c.c_emb), c.c_id) AS rk
+        |  FROM sq v JOIN c0 c ON v.sub = c.sub) x WHERE rk = 1),
+        |d1 AS (SELECT sub, cell, pos, CAST(SUM(qv) AS DOUBLE)/COUNT(*) AS cv
+        |  FROM (SELECT sub, cell, generate_subscripts(qd, 1) AS pos,
+        |      unnest(qd) AS qv FROM a1) u
+        |  GROUP BY sub, cell, pos),
+        |c1 AS (SELECT sub, cell AS c_id, LIST(cv ORDER BY pos) AS c_emb
+        |  FROM d1 GROUP BY sub, cell),
+        |codes AS (SELECT vec_id, sub, c_id AS code FROM (
+        |  SELECT v.vec_id, v.sub, c.c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+        |      list_inner_product(v.qsub, v.qsub)
+        |        - 2 * list_inner_product(v.qsub, c.c_emb)
+        |        + list_inner_product(c.c_emb, c.c_emb), c.c_id) AS rk
+        |  FROM sq v JOIN c1 c ON v.sub = c.sub) x WHERE rk = 1),
+        |tab AS (SELECT q.vec_id AS query_id, q.sub, c.c_id,
+        |    list_inner_product(q.subemb, c.c_emb) AS t
+        |  FROM s q JOIN c1 c ON q.sub = c.sub WHERE q.vec_id < 30),
+        |sc AS (SELECT t2.query_id, k.vec_id AS neighbor_id,
+        |    SUM(CAST(t2.t AS DECIMAL(20,9))) AS appx
+        |  FROM codes k JOIN tab t2 ON k.sub = t2.sub AND k.code = t2.c_id
+        |  WHERE k.vec_id <> t2.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, CAST(appx AS DOUBLE) AS approx_dot,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY appx DESC, neighbor_id) AS BIGINT) AS rk
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, approx_dot, rk FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    "q_variant" ->
+      """SELECT event_id,
+        |  CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_val,
+        |  'OBJECT<k: BIGINT>' AS vschema,
+        |  event_type AS etype_rt
+        |FROM events ORDER BY event_id""".stripMargin)
+}
