@@ -65,26 +65,9 @@ case class MisraGries(
   override def update(
       buf: mutable.HashMap[String, Long], input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) add(buf, v.asInstanceOf[UTF8String].toString, 1L)
+    if (v != null) MisraGries.addTo(buf, v.asInstanceOf[UTF8String].toString, 1L, k)
     buf
   }
-
-  /** Classic MG step: counted terms increment; a novel term either takes a
-    * free slot or decrements every counter (amortized O(1) — each
-    * decrement cancels one earlier increment).
-    */
-  private def add(buf: mutable.HashMap[String, Long], term: String, by: Long): Unit =
-    buf.get(term) match {
-      case Some(c) => buf.update(term, c + by)
-      case None if buf.size < k => buf.update(term, by)
-      case None =>
-        // Decrement all by the smaller of `by` and the current minimum:
-        // one pass, removes at least one entry when min <= by.
-        val dec = math.min(by, buf.valuesIterator.min)
-        buf.filterInPlace((_, c) => c > dec).mapValuesInPlace((_, c) => c - dec)
-        val rest = by - dec
-        if (rest > 0) add(buf, term, rest)
-    }
 
   override def merge(
       b1: mutable.HashMap[String, Long], b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
@@ -145,4 +128,23 @@ object MisraGries {
   /** DataFrame-side helper: candidate heavy hitters with capacity k. */
   def candidates(c: Column, k: Int): Column =
     Bridge.column(MisraGries(Bridge.expression(c), k).toAggregateExpression())
+
+  /** Classic MG step: counted terms increment; a novel term either takes
+    * a free slot or decrements every counter (amortized O(1) — each
+    * decrement cancels one earlier increment). Shared by the aggregate
+    * above and the streaming state in `graft.streaming.Streams`.
+    */
+  @annotation.tailrec
+  private[graft] def addTo(
+      buf: mutable.HashMap[String, Long], term: String, by: Long, k: Int): Unit =
+    buf.get(term) match {
+      case Some(c) => buf.update(term, c + by)
+      case None if buf.size < k => buf.update(term, by)
+      case None =>
+        // Decrement all by the smaller of `by` and the current minimum:
+        // one pass, removes at least one entry when min <= by.
+        val dec = math.min(by, buf.valuesIterator.min)
+        buf.filterInPlace((_, c) => c > dec).mapValuesInPlace((_, c) => c - dec)
+        if (by - dec > 0) addTo(buf, term, by - dec, k)
+    }
 }

@@ -133,6 +133,31 @@ object Pipeline8 {
         m = 8, subDim = 8, ks = 16, iters = 1, nQueries = 30, k = 5)
     },
 
+    // Interval-overlap join: click attention windows (15 min) × purchase
+    // consideration windows (1 h) per user, binned on the user timeline —
+    // an equi-join on (user, bucket), never a nested-loop. Per-pair home
+    // bucket = the later start, so no dedup shuffle. Output aggregates to
+    // per-user pair counts and exact overlap micros.
+    "q_interval_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("a_id"),
+          col("us").as("sa"), (col("us") + 900000000L).as("ea"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("b_id"),
+          col("us").as("sb"), (col("us") + 3600000000L).as("eb"))
+      graft.operators.IntervalJoin.overlap(
+          clicks, purchases, Seq("user_id"), "sa", "ea", "sb", "eb",
+          bucketWidth = 900000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+            .as("overlap_us"))
+        .orderBy(col("user_id"))
+    },
+
     // Spark 4 VARIANT: parse the JSON props column once into the binary
     // variant encoding, then extract typed paths — no per-row string
     // re-parsing downstream. `schema_of_variant` proves the stored shape.
@@ -246,6 +271,18 @@ object Pipeline8 {
         |  FROM sc)
         |SELECT query_id, neighbor_id, approx_dot, rk FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    "q_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |    event_type FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, us AS sa,
+        |    us + 900000000 AS ea FROM e WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, us AS sb,
+        |    us + 3600000000 AS eb FROM e WHERE event_type = 'purchase')
+        |SELECT a.user_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(LEAST(ea, eb) - GREATEST(sa, sb)) AS BIGINT) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND GREATEST(sa, sb) < LEAST(ea, eb)
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "q_variant" ->
       """SELECT event_id,
         |  CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_val,

@@ -202,4 +202,31 @@ object Streams {
           closed.result().iterator
       }
   }
+
+  /** Streaming heavy-hitter candidates: a Misra–Gries counter map per
+    * TERM SHARD held in `mapGroupsWithState` — the unbounded-stream face
+    * of `graft.functions.MisraGries`. Sharding by term hash bounds state
+    * at k counters × nShards regardless of vocabulary size, and since a
+    * term lives in exactly one shard, the per-shard MG guarantee (any
+    * term above shardN/(k+1) survives) is at least as strong as the
+    * global one. Each micro-batch emits the shard's refreshed candidate
+    * list (Update mode); an exact recount over the candidates — the
+    * batch `q_heavy_hitters` second pass — turns candidates into counts
+    * whenever a consumer needs them.
+    */
+  def heavyHitterCandidates(terms: Dataset[String], nShards: Int, k: Int)
+      : Dataset[(Int, Seq[String])] = {
+    import terms.sparkSession.implicits._
+    terms
+      .groupByKey(t => math.floorMod(t.hashCode, nShards))
+      .mapGroupsWithState[Map[String, Long], (Int, Seq[String])](
+        GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[String], state: GroupState[Map[String, Long]]) =>
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(m => buf ++= m)
+          rows.foreach(t => graft.functions.MisraGries.addTo(buf, t, 1L, k))
+          state.update(buf.toMap)
+          (shard, buf.keysIterator.toSeq.sorted)
+      }
+  }
 }

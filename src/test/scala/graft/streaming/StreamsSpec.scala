@@ -184,6 +184,30 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy-hitter candidates keep heavy terms across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val k = 4
+    // Batch 1: "hot" dominates, plus singleton noise filling the counters.
+    ms.addData(Seq.fill(50)("hot") ++ (1 to 30).map(i => s"n$i"): _*)
+    val q = Streams.heavyHitterCandidates(ms.toDS(), nShards = 3, k = k)
+      .toDF("shard", "cands")
+      .writeStream.format("memory").queryName("hh").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // Batch 2: a second heavy term arrives later; "hot" must survive
+      // the continued noise because its stored count dwarfs decrements.
+      ms.addData(Seq.fill(40)("warm") ++ (31 to 60).map(i => s"n$i"): _*)
+      q.processAllAvailable()
+      val last = spark.table("hh").select($"shard", $"cands")
+        .as[(Int, Seq[String])].collect()
+        .groupBy(_._1).view.mapValues(_.last._2).toMap // latest update per shard
+      val cands = last.values.flatten.toSet
+      assert(cands.contains("hot") && cands.contains("warm"), s"got $cands")
+      assert(last.values.forall(_.size <= k), "per-shard capacity violated")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped from windowed aggregation") {
     val dir = Files.createTempDirectory("events3").toString
     def write(batch: Seq[(Long, Long, Long, String, Double, String)], part: String): Unit =
