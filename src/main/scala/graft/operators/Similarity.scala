@@ -225,16 +225,20 @@ object Similarity {
     val books = pqCodebooks(subs, ks, iters)
     val codes = pqAssign(subs, books)
       .select(col("vec_id"), col("sub"), col("c_id").as("code"))
+    // Distinct column names on the lookup-table side: `codes` and `tab`
+    // share lineage through `subs`, and same-name references across a
+    // self-join can silently resolve to one attribute (Spark warns
+    // "trivially true predicate").
     val tab = subs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("sub"), col("subemb"))
       .join(broadcast(books), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("c_id"),
+      .select(col("query_id"), col("sub").as("t_sub"), col("c_id").as("t_code"),
         dot(col("subemb"), col("c_emb")).as("t"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("appx").desc, col("neighbor_id"))
     codes.join(broadcast(tab),
-        codes("sub") === tab("sub") && codes("code") === tab("c_id") &&
-          codes("vec_id") =!= tab("query_id"))
+        col("sub") === col("t_sub") && col("code") === col("t_code") &&
+          col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("t").cast("decimal(20,9)")).as("appx"))
       .withColumn("rk", row_number().over(w).cast("long"))

@@ -84,6 +84,30 @@ class PipelineSpec extends AnyFunSuite {
     szCapped.keys.foreach(k => assert(szCapped(k) === szFull(k)))
   }
 
+  test("hot-band cap bounds LSH candidates on a boilerplate-degenerate corpus") {
+    // Pathological shape: 40 exact copies of one boilerplate doc (every
+    // band value shared by all 40 → 4 buckets of size 40 → 3,120
+    // candidate pairs uncapped) plus one genuinely-near pair with rare
+    // band values. The cap must (a) drop the degenerate buckets, so
+    // candidate volume stays bounded, and (b) leave the rare-pair
+    // detection untouched — recall loss confined to oversized buckets,
+    // exactly as the scaladoc claims.
+    val boiler = (10L until 50L).map(i =>
+      (i, "terms of service apply to all content provided herein always"))
+    val rare = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy cat near the river"))
+    val corpus = (boiler ++ rare).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(corpus, t10 = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(uncapped.size >= 40 * 39 / 2, s"degenerate corpus should explode: ${uncapped.size}")
+    val capped = Dedup.minhashLshPairs(corpus, t10 = 1, maxBandDf = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)), "rare near-dup pair must survive the cap")
+    assert(!capped.exists(p => p._1 >= 10L && p._2 >= 10L),
+      s"boilerplate pairs must be excluded, got ${capped.size}")
+  }
+
   test("minhash signature identical for identical shingle sets") {
     val sig = Dedup.minhashSignature(Dedup.shingles(docs))
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
