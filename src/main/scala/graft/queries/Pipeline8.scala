@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashFunctions.{md5fast => md5f}
 import graft.functions.MisraGries
 import Qs._
 
@@ -158,6 +159,39 @@ object Pipeline8 {
         .orderBy(col("user_id"))
     },
 
+    // KMV sketch ROLL-UP: per-source k-minimum-values term sketches,
+    // then a global estimate from merging the per-source k-min sets —
+    // never rescanning the corpus. This is the sketch-storage pattern at
+    // 100 TB: partitions persist O(k) sketches; any union of partitions
+    // answers distinct-count queries later. KMV union (set-union, keep k
+    // smallest) is EXACTLY the sketch of the union, so the merged
+    // estimate equals the direct global sketch — asserted in the spec,
+    // and every number here is md5-deterministic for the SQL oracle.
+    "q_sketch_rollup" -> { (s, dir) =>
+      val k = 256
+      val factor = lit((k - 1).toDouble * 1152921504606846976.0) // (k-1)·2^60
+      def estimate(g: org.apache.spark.sql.DataFrame) = g
+        .select(col("source"),
+          when(col("n") < k, col("n").cast("double"))
+            .otherwise(factor / col("hk").cast("double")).as("est_distinct"))
+      val hashes = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .select(col("source"),
+          conv(substring(md5f(col("term")), 1, 15), 16, 10).cast("long").as("h"))
+        .distinct()
+      val perSource = hashes.withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"))))
+        .filter(col("rk") <= k)
+        .localCheckpoint() // the stored sketches; both outputs read them
+      val bySource = estimate(perSource.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), max(col("h")).as("hk")))
+      val merged = estimate(perSource
+        .select(col("h")).distinct().orderBy(col("h")).limit(k)
+        .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+        .select(lit("__all__").as("source"), col("n"), col("hk")))
+      bySource.union(merged).orderBy(col("source"))
+    },
+
     // Spark 4 VARIANT: parse the JSON props column once into the binary
     // variant encoding, then extract typed paths — no per-row string
     // re-parsing downstream. `schema_of_variant` proves the stored shape.
@@ -283,6 +317,31 @@ object Pipeline8 {
         |FROM a JOIN b ON a.user_id = b.user_id
         |  AND GREATEST(sa, sb) < LEAST(ea, eb)
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q_sketch_rollup" ->
+      """WITH toks AS (SELECT DISTINCT source,
+        |    ('0x' || SUBSTR(MD5(term), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term
+        |        FROM documents) x),
+        |pm AS (SELECT source, h,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        |  FROM toks),
+        |ps AS (SELECT source, h FROM pm WHERE rk <= 256),
+        |est AS (SELECT source, COUNT(*) AS n, MAX(h) AS hk
+        |  FROM ps GROUP BY source),
+        |mg AS (SELECT h FROM (SELECT DISTINCT h FROM ps) d
+        |  ORDER BY h LIMIT 256),
+        |me AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM mg)
+        |SELECT source,
+        |  CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |    ELSE 255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END
+        |    AS est_distinct
+        |FROM est
+        |UNION ALL
+        |SELECT '__all__',
+        |  CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |    ELSE 255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END
+        |FROM me
+        |ORDER BY source""".stripMargin,
     "q_variant" ->
       """SELECT event_id,
         |  CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_val,

@@ -203,6 +203,26 @@ object Streams {
       }
   }
 
+  /** Watermarked per-window latency-style quantiles: the streaming SLO
+    * monitor. `percentile_approx` aggregates partial t-digest-style
+    * buffers per (window, event_type) in the state store, so each
+    * micro-batch folds its slice in and the window finalizes when the
+    * watermark passes — no per-event state, O(accuracy) memory per open
+    * window. Quantile VALUES are approximation-dependent (hence no
+    * oracle query); the batch-exact twin is `q_percentile`.
+    */
+  def windowedQuantiles(
+      events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
+          lit(1000)).as("p50_p95_p99"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("p50_p95_p99"))
+
   /** Streaming heavy-hitter candidates: a Misra–Gries counter map per
     * TERM SHARD held in `mapGroupsWithState` — the unbounded-stream face
     * of `graft.functions.MisraGries`. Sharding by term hash bounds state

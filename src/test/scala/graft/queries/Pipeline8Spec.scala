@@ -102,6 +102,28 @@ class Pipeline8Spec extends AnyFunSuite {
     assert(out1.toSeq === out2.toSeq)
   }
 
+  test("q_sketch_rollup: merged per-source sketches equal the direct global sketch") {
+    val k = 256
+    val merged = Pipeline8.queries("q_sketch_rollup")(spark, dir)
+      .filter($"source" === "__all__").select($"est_distinct")
+      .as[Double].head()
+    // Direct global KMV over the same hash space, no per-source stage.
+    val hashes = graft.Tables(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("term"))
+      .select(conv(substring(
+        graft.functions.HashFunctions.md5fast($"term"), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+    val direct = hashes.orderBy($"h").limit(k)
+      .agg(count(lit(1)).as("n"), max($"h").as("hk"))
+      .select(when($"n" < k, $"n".cast("double"))
+        .otherwise(lit((k - 1).toDouble * 1152921504606846976.0) /
+          $"hk".cast("double")))
+      .as[Double].head()
+    assert(merged === direct,
+      "KMV union of per-source sketches must equal the sketch of the union")
+  }
+
   test("q_variant extracts typed paths equal to the string-JSON path") {
     val out = Pipeline8.queries("q_variant")(spark, dir)
     val viaString = graft.Tables(spark, dir, "events")

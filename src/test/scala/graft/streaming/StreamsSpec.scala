@@ -184,6 +184,28 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed quantiles track the per-window value distribution") {
+    val dir = Files.createTempDirectory("eventsq").toString
+    // One 10-min window holding values 1..100 for clicks: p50≈50, p99≈99.
+    (1 to 100).map(i =>
+        (i.toLong, i * 1_000_000_000L, 10L, "click", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val q = Streams.windowedQuantiles(
+        Streams.eventsStream(spark, dir), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wq").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("wq")
+        .select($"n", $"p50_p95_p99").as[(Long, Seq[Double])].collect()
+      val inFirst = rows.find(_._1 > 50).get // the full 0-10min window
+      val Seq(p50, p95, p99) = inFirst._2
+      assert(p50 >= 40 && p50 <= 60, s"p50=$p50")
+      assert(p95 >= 90 && p95 <= 100, s"p95=$p95")
+      assert(p99 >= p95 && p99 <= 100, s"p99=$p99")
+    } finally q.stop()
+  }
+
   test("streaming heavy-hitter candidates keep heavy terms across batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[String]
