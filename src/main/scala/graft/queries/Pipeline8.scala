@@ -45,14 +45,18 @@ object Pipeline8 {
     "q_heavy_hitters" -> { (s, dir) =>
       val toks = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("term"))
-      val stats = toks
-        .agg(count(lit(1)).as("total"),
-          MisraGries.candidates(col("term"), 512).as("cands"))
-        .localCheckpoint() // 1 row; feeds two sides below
-      val cands = stats.select(explode(col("cands")).as("term"))
+      val cands = toks
+        .agg(MisraGries.candidates(col("term"), 512).as("cands"))
+        .select(explode(col("cands")).as("term"))
+      // Same tokenization, but summed as array sizes: a cheap scalar agg
+      // whose 1-row shape stays visible to plan audits (a checkpointed
+      // shared subplan would hide it behind an RDD scan).
+      val total = t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("nt"))
+        .agg(sum(col("nt")).as("total"))
       toks.join(broadcast(cands), Seq("term"), "left_semi")
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(stats.select(col("total"))))
+        .crossJoin(broadcast(total))
         .filter(col("n") * 200L >= col("total"))
         .select(col("term"), col("n"))
         .orderBy(col("n").desc, col("term"))
