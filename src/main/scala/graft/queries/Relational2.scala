@@ -12,13 +12,15 @@ import Qs._
   */
 object Relational2 {
 
-  /** One row per day of 1995 (a `sequence`-exploded calendar). */
-  private def spark_grid(s: org.apache.spark.sql.SparkSession) = {
-    import s.implicits._
-    Seq(1).toDF("one").select(explode(expr(
-      "sequence(to_date('1995-01-01'), to_date('1995-12-31'), interval 1 day)"))
-      .as("day")).drop("one")
-  }
+  /** Per-key calendar spine for 1995: one row per (key-row, day), via a
+    * narrow `sequence` explode — NOT a cross join against a calendar
+    * table, which would plan as a nested-loop join and serialize on the
+    * broadcast at a large key count. The explode fans out map-side
+    * inside the key rows' own partitions.
+    */
+  private def withDays(keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    keys.withColumn("day", explode(expr(
+      "sequence(to_date('1995-01-01'), to_date('1995-12-31'), interval 1 day)")))
 
   val queries: Map[String, Q] = Map(
     // Left outer: every customer, orders aggregated where present.
@@ -163,8 +165,7 @@ object Relational2 {
       val daily = o.join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey").as("nk"), to_date(col("o_orderdate")).as("day"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 14, 2).as("revenue"))
-      val days = t(s, dir, "customer").select(col("c_nationkey")).distinct()
-        .crossJoin(spark_grid(s))
+      val days = withDays(t(s, dir, "customer").select(col("c_nationkey")).distinct())
       days.join(daily,
           days("c_nationkey") === daily("nk") && days("day") === daily("day"), "left")
         .select(
