@@ -229,4 +229,35 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(p.contains("Window"), s"$q lost its window formulation\n$p")
     }
   }
+
+  test("q_heavy_hitters: candidate semi-join broadcasts; recount is two-phase") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "candidate screen must be a broadcast semi join\n" + p)
+    assert(p.split("HashAggregate").length >= 3,
+      "exact recount must be partial+final\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_interval_join: binned overlap is an equi-join, no nested loop") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  test("q_sample_weighted: per-block cumsum windows are partitioned") {
+    val p = plan("q_sample_weighted")
+    // The within-block window must be keyed (parallel); only the tiny
+    // block-offset window may be global — if no window spec partitions
+    // by blk, the prefix sum degenerated to single-partition.
+    assert(p.contains("Window"), p)
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(specs.exists(_.contains("blk#")),
+      "row cumsum must partition by blk\n" + specs.mkString("\n"))
+  }
+
+  test("q_embed_pq: ADC lookup joins broadcast; no unbounded nested loop") {
+    val p = plan("q_embed_pq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
