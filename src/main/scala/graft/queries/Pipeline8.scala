@@ -196,6 +196,36 @@ object Pipeline8 {
       bySource.union(merged).orderBy(col("source"))
     },
 
+    // Order-independent table integrity checksums: every replica can
+    // compute these without sorting — row md5s folded through XOR and a
+    // Mersenne-prime modular sum (two independent algebras, so a swap
+    // that fools one fools the other with ~2^-120 odds). The 100 TB use:
+    // verify a migration/replication byte-for-byte with one commutative
+    // aggregation pass per side. Only integer/string/date columns enter
+    // the row hash — float stringification is engine-specific.
+    "q_table_checksum" -> { (s, dir) =>
+      def rowHash(colsExpr: org.apache.spark.sql.Column) =
+        conv(substring(md5f(colsExpr), 1, 15), 16, 10).cast("long")
+      def sums(df: org.apache.spark.sql.DataFrame, name: String) = df
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_sum"),
+          expr("CAST(SUM(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
+            .as("mod_sum"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("xor_sum"), col("mod_sum"))
+      val li = t(s, dir, "lineitem").select(rowHash(concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd"))).as("h"))
+      val o = t(s, dir, "orders").select(rowHash(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("h"))
+      sums(li, "lineitem").union(sums(o, "orders"))
+        .orderBy(col("table_name"))
+    },
+
     // Spark 4 VARIANT: parse the JSON props column once into the binary
     // variant encoding, then extract typed paths — no per-row string
     // re-parsing downstream. `schema_of_variant` proves the stored shape.
@@ -346,6 +376,27 @@ object Pipeline8 {
         |    ELSE 255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END
         |FROM me
         |ORDER BY source""".stripMargin,
+    "q_table_checksum" ->
+      """WITH li AS (SELECT ('0x' || SUBSTR(MD5(CONCAT_WS('|',
+        |    l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |    l_returnflag, l_linestatus,
+        |    strftime(l_shipdate, '%Y-%m-%d'))), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |o AS (SELECT ('0x' || SUBSTR(MD5(CONCAT_WS('|',
+        |    o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |    strftime(o_orderdate, '%Y-%m-%d'))), 1, 15))::BIGINT AS h
+        |  FROM orders)
+        |SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows,
+        |  BIT_XOR(h) AS xor_sum,
+        |  CAST(SUM(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)
+        |    AS mod_sum
+        |FROM li
+        |UNION ALL
+        |SELECT 'orders', COUNT(*),
+        |  BIT_XOR(h),
+        |  CAST(SUM(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)
+        |FROM o
+        |ORDER BY table_name""".stripMargin,
     "q_variant" ->
       """SELECT event_id,
         |  CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_val,
