@@ -9,8 +9,9 @@ import Qs._
 
 /** Eighth batch: sketch-driven exact heavy hitters, PPS (probability-
   * proportional-to-size) systematic sampling on an exact distributed
-  * prefix sum, time-weighted averages, and the Spark 4 VARIANT path for
-  * semi-structured data.
+  * prefix sum, time-weighted averages, the Spark 4 VARIANT path for
+  * semi-structured data, product-quantization ANN, interval-overlap
+  * joins, KMV sketch roll-ups, and order-independent table checksums.
   *
   * Scale design:
   *  - Heavy hitters is the canonical two-pass shape: pass 1 merges O(k)
