@@ -227,6 +227,30 @@ object Pipeline8 {
         .orderBy(col("table_name"))
     },
 
+    // Median/MAD robust outlier stats — the heavy-tail-safe sibling of
+    // q_outliers' mean/std z-scores (one extreme value corrupts a mean;
+    // breaking a median takes half the data). Two exact-percentile
+    // passes, each a partial+final agg with the tiny per-group stats
+    // broadcast back; the 1.4826 factor rescales MAD to σ-equivalents.
+    "q_robust_mad" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_quantity").as("q"))
+      val med = li.groupBy(col("rf"))
+        .agg(expr("percentile(q, 0.5)").as("med"))
+      val dev = li.join(broadcast(med), Seq("rf"))
+        .withColumn("dev", abs(col("q") - col("med")))
+      val mad = dev.groupBy(col("rf"))
+        .agg(first(col("med")).as("med"), expr("percentile(dev, 0.5)").as("mad"))
+      dev.select(col("rf"), col("dev"))
+        .join(broadcast(mad), Seq("rf"))
+        .groupBy(col("rf"), col("med"), col("mad"))
+        .agg(sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_flagged"))
+        .select(col("rf").as("l_returnflag"), col("med"), col("mad"),
+          col("n_flagged"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Spark 4 VARIANT: parse the JSON props column once into the binary
     // variant encoding, then extract typed paths — no per-row string
     // re-parsing downstream. `schema_of_variant` proves the stored shape.
@@ -398,6 +422,21 @@ object Pipeline8 {
         |  CAST(SUM(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)
         |FROM o
         |ORDER BY table_name""".stripMargin,
+    "q_robust_mad" ->
+      """WITH med AS (SELECT l_returnflag AS rf,
+        |    QUANTILE_CONT(l_quantity, 0.5) AS med
+        |  FROM lineitem GROUP BY 1),
+        |dev AS (SELECT m.rf, m.med, ABS(l.l_quantity - m.med) AS dev
+        |  FROM lineitem l JOIN med m ON l.l_returnflag = m.rf),
+        |mad AS (SELECT rf, ANY_VALUE(med) AS med,
+        |    QUANTILE_CONT(dev, 0.5) AS mad
+        |  FROM dev GROUP BY rf)
+        |SELECT d.rf AS l_returnflag, m2.med, m2.mad,
+        |  CAST(SUM(CASE WHEN d.dev > 3.0 * 1.4826 * m2.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM dev d JOIN mad m2 ON d.rf = m2.rf
+        |GROUP BY d.rf, m2.med, m2.mad
+        |ORDER BY l_returnflag""".stripMargin,
     "q_variant" ->
       """SELECT event_id,
         |  CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_val,

@@ -30,6 +30,28 @@ class SinksSpec extends AnyFunSuite {
     assert(back.select("doc_id", "lang", "text").except(docs).count() === 0)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // The 100 TB mechanism behind "join a filtered dimension and only
+    // touch the fact partitions that can match": Spark rewrites the fact
+    // scan's partition filter to an IN-subquery over the broadcast dim
+    // keys (visible as `dynamicpruning` in the plan). Static pruning
+    // can't do this — the partition values only exist at runtime.
+    val base = tempDir("sink")
+    val fact = (1 to 40000).map(i => (i.toLong, s"s${i % 8}", i * 1.5))
+      .toDF("id", "shard", "v")
+    Sinks.writeParquet(fact, s"$base/fact", partitionBy = Seq("shard"))
+    Sinks.writeParquet(
+      Seq(("s1", "keep"), ("s2", "keep"), ("s3", "drop")).toDF("shard", "tag"),
+      s"$base/dim")
+    val joined = spark.read.parquet(s"$base/fact")
+      .join(spark.read.parquet(s"$base/dim").filter($"tag" === "keep"),
+        Seq("shard"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "fact scan must carry a runtime partition filter\n" + plan)
+    assert(joined.count() === 10000) // s1 + s2 = 5000 + 5000 rows
+  }
+
   test("partition column filter prunes to matching directories only") {
     val out = s"${tempDir("sink")}/docs"
     Sinks.writeParquet(docs, out, partitionBy = Seq("lang"))
