@@ -142,6 +142,31 @@ object Streams {
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
   }
 
+  /** As [[purchaseAttribution]], but LEFT OUTER: purchases with no click
+    * in the horizon still emit — with null click columns — once the
+    * watermark passes `p_ts` (the state store can then prove no late
+    * click can ever match). This is the semantically hard stream-stream
+    * case: the null row is the RESULT of watermark-driven state expiry,
+    * so correctness depends on both watermarks and the time-range bound,
+    * not just the join predicate.
+    */
+  def attributionWithMisses(events: DataFrame, watermark: String = "10 minutes",
+      horizon: String = "30 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
+      "leftOuter")
+  }
+
   /** Streaming ingestion into the partitioned lake: each micro-batch
     * appends to a hive-partitioned parquet layout via [[graft.sources.Sinks]].
     * `foreachBatch` is the right tool when the sink needs batch-writer
@@ -222,6 +247,56 @@ object Streams {
           lit(1000)).as("p50_p95_p99"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"),
         col("p50_p95_p99"))
+
+  /** [[sessionize]] ported to the Spark 4 arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor`): typed named state via
+    * the handle, optional TTL, timers — the modern replacement for
+    * flatMapGroupsWithState, and the API new state-heavy operators
+    * should target. Requires the RocksDB state store provider (set
+    * `spark.sql.streaming.stateStore.providerClass`). Session semantics
+    * are identical to [[sessionize]] — asserted in StreamsSpec.
+    */
+  def sessionizeTws(events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The [[sessionizeTws]] state machine: one ValueState record per user,
+    * closed sessions emitted when a gap exceeds `gapMs`.
+    */
+  private class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, UserSession] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[SessionEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserSession] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var s = if (st.exists()) st.get()
+        else SessionState(Long.MaxValue, Long.MinValue, 0, 0.0)
+      val closed = Seq.newBuilder[UserSession]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (s.n > 0 && t - s.lastSeen > gapMs) {
+          closed += UserSession(userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.lastSeen), s.n, s.total)
+          s = SessionState(t, t, 1, e.value)
+        } else {
+          s = SessionState(math.min(s.start, t), math.max(s.lastSeen, t),
+            s.n + 1, s.total + e.value)
+        }
+      }
+      if (s.n > 0) st.update(s) else st.clear()
+      closed.result().iterator
+    }
+  }
 
   /** Streaming heavy-hitter candidates: a Misra–Gries counter map per
     * TERM SHARD held in `mapGroupsWithState` — the unbounded-stream face

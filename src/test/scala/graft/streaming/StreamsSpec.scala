@@ -184,6 +184,33 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches the fMGWS semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Streams.SessionEvent]
+      ms.addData(
+        Streams.SessionEvent(1L, ts(0), 1.0),
+        Streams.SessionEvent(1L, ts(1000), 2.0),
+        Streams.SessionEvent(1L, ts(100000), 3.0), // > 10s gap → closes first
+        Streams.SessionEvent(2L, ts(0), 9.0))      // still open, no output
+      val q = Streams.sessionizeTws(ms.toDS(), gapMs = 10000)
+        .writeStream.format("memory").queryName("sess2").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val sessions = spark.table("sess2")
+          .select("user_id", "n_events", "total_value")
+          .as[(Long, Long, Double)].collect().toSet
+        assert(sessions === Set((1L, 2L, 3.0)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("windowed quantiles track the per-window value distribution") {
     val dir = Files.createTempDirectory("eventsq").toString
     // One 10-min window holding values 1..100 for clicks: p50≈50, p99≈99.
@@ -227,6 +254,33 @@ class StreamsSpec extends AnyFunSuite {
       val cands = last.values.flatten.toSet
       assert(cands.contains("hot") && cands.contains("warm"), s"got $cands")
       assert(last.values.forall(_.size <= k), "per-shard capacity violated")
+    } finally q.stop()
+  }
+
+  test("outer stream-stream join emits unattributed purchases on state expiry") {
+    val dir = Files.createTempDirectory("events4").toString
+    def write(batch: Seq[(Long, Long, Long, String, Double, String)], part: String): Unit =
+      batch.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(s"$dir/$part")
+    // p1 has a click 100s earlier (attributed); p2 has none.
+    write(Seq(
+      (1L, 3_500_000_000_000L, 10L, "click", 0.0, "{}"),
+      (2L, 3_600_000_000_000L, 10L, "purchase", 9.0, "{}"),
+      (3L, 7_200_000_000_000L, 11L, "purchase", 5.0, "{}")), "p1")
+    val q = Streams.attributionWithMisses(Streams.eventsStream(spark, s"$dir/*"))
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // Advance BOTH watermarks far past p2_ts + horizon → p2's state
+      // expires and the null-click row must emit.
+      write(Seq(
+        (4L, 20_000_000_000_000L, 99L, "click", 0.0, "{}"),
+        (5L, 20_000_000_000_000L, 99L, "purchase", 1.0, "{}")), "p2")
+      q.processAllAvailable()
+      val rows = spark.table("attr")
+        .select($"p_id", $"c_id").as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((2L, Some(1L))), s"p1 must attribute to c1: $rows")
+      assert(rows.contains((3L, None)), s"p2 must emit unattributed: $rows")
     } finally q.stop()
   }
 
