@@ -79,6 +79,14 @@ class SinksSpec extends AnyFunSuite {
     assert(q.count() === 1)
   }
 
+  test("zstd-compressed parquet round-trips (the 100 TB codec choice)") {
+    val out = s"${tempDir("sink")}/zstd"
+    docs.write.option("compression", "zstd").parquet(out)
+    val files = new java.io.File(out).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")), files.mkString(", "))
+    assert(spark.read.parquet(out).count() === 4)
+  }
+
   test("csv sink writes a header and round-trips with inference") {
     val out = s"${tempDir("sink")}/csv"
     Sinks.writeCsv(docs.select($"doc_id", $"text"), out)
