@@ -248,6 +248,59 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF-PQ composite ANN — the production billion-scale shape: a coarse
+    * quantizer (IVF cells) prunes WHICH vectors each query scores, and
+    * product quantization compresses HOW each candidate is scored (m
+    * table lookups on integer codes instead of full-vector arithmetic).
+    * Candidate space: nprobe/nCells of the corpus; scan cost per
+    * candidate: m lookups. Both stages reuse the exact-decimal k-means
+    * machinery, so the whole pipeline stays bit-reproducible and the
+    * SQL oracle replays it end to end.
+    *
+    * `embeddings` must be pre-normed via [[withNorm]]. PQ codebooks here
+    * quantize the raw vectors (not per-cell residuals — documented
+    * simplification; residual PQ adds a subtract step per cell at the
+    * same plan shape).
+    */
+  def ivfPqKnn(embeddings: DataFrame, nCells: Int, cellIters: Int,
+      m: Int, subDim: Int, ks: Int, pqIters: Int,
+      nprobe: Int, nQueries: Int, k: Int): DataFrame = {
+    val q = quantized(embeddings)
+    val cents = ivfCentroids(q, nCells, cellIters)
+    val corpusCells = assignCells(q, cents, nprobe = 1)
+      .select(col("vec_id"), col("cell"))
+    val queryCells = assignCells(q.filter(col("vec_id") < nQueries), cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val subs = pqSubvectors(embeddings, m, subDim)
+    val books = pqCodebooks(subs, ks, pqIters)
+    val codes = pqAssign(subs, books)
+      .select(col("vec_id"), col("sub"), col("c_id").as("code"))
+    val tab = subs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("t_query"), col("sub").as("t_sub"), col("subemb"))
+      .join(broadcast(books.select(col("sub").as("t_sub"),
+        col("c_id").as("t_code"), col("c_emb"))), Seq("t_sub"))
+      .select(col("t_query"), col("t_sub"), col("t_code"),
+        dot(col("subemb"), col("c_emb")).as("t"))
+    // Each corpus vector lives in ONE cell; a (corpus, query) pair forms
+    // iff the query probes that cell — no dedup needed.
+    val pairs = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("vec_id"), col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("appx").desc, col("neighbor_id"))
+    pairs.join(codes, Seq("vec_id"))
+      .join(broadcast(tab),
+        col("query_id") === col("t_query") && col("sub") === col("t_sub") &&
+          col("code") === col("t_code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("t").cast("decimal(20,9)")).as("appx"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("appx").cast("double").as("approx_dot"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** ANN top-k restricted to sign-LSH buckets. Recall < 1 by design;
     * cheap at scale (pair space divided by ~2^bits for centered data).
     */

@@ -124,6 +124,23 @@ class Pipeline8Spec extends AnyFunSuite {
       "KMV union of per-source sketches must equal the sketch of the union")
   }
 
+  test("q_embed_ivfpq: the probed-cell candidate space is a strict subset") {
+    // The composite must score only candidates inside probed cells —
+    // nprobe=2 of 16 cells ⇒ each query's candidate count well below the
+    // corpus; and the ranking must still find real neighbors (overlap
+    // with the full-ADC PQ ranking, which scans everything).
+    val out = Pipeline8.queries("q_embed_ivfpq")(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size === 30 && out.length === 150)
+    val fullPq = Pipeline8.queries("q_embed_pq")(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val overlap = out.count(fullPq.contains)
+    // Identical scoring, pruned candidates: most composite picks should
+    // also be in the full scan's top-5 (those that fall in probed cells).
+    assert(overlap >= 60, s"composite diverged from full ADC: $overlap/150")
+  }
+
   test("q_variant extracts typed paths equal to the string-JSON path") {
     val out = Pipeline8.queries("q_variant")(spark, dir)
     val viaString = graft.Tables(spark, dir, "events")
