@@ -315,4 +315,34 @@ object Similarity {
           (dot(col("q.emb"), col("c.emb")) / (col("q.nrm") * col("c.nrm"))).as("cos")),
       k)
   }
+
+  /** Multi-probe sign-LSH ANN: each query additionally probes the `bits`
+    * buckets at Hamming distance 1 from its own — the vectors LSH loses
+    * are exactly the ones near a hyperplane, and those land one bit
+    * away. The standard trade: recall approaching more-hash-tables at
+    * the memory cost of ONE table; query cost scales by bits+1 probes,
+    * corpus storage doesn't change. Probes explode map-side on the
+    * (bounded) query side only; the corpus keeps its single bucket.
+    */
+  def annMultiProbeKnn(embeddings: DataFrame, k: Int, bits: Int = 8,
+      nQueries: Int = Int.MaxValue): DataFrame = {
+    val b = signBucket(embeddings, bits)
+    val flips = (1 to bits).map { i =>
+      concat(
+        substring(col("bucket"), 1, i - 1),
+        when(substring(col("bucket"), i, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("bucket"), i + 1, bits - i))
+    }
+    val probes = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        explode(array(col("bucket") +: flips: _*)).as("probe"))
+    topK(
+      probes.join(b, probes("probe") === b("bucket") &&
+          probes("query_id") =!= b("vec_id"))
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm"))).as("cos")),
+      k)
+  }
 }

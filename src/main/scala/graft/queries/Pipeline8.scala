@@ -63,6 +63,29 @@ object Pipeline8 {
         .orderBy(col("n").desc, col("term"))
     },
 
+    // Heavy hitters PER GROUP: the same sketch→verify shape, with the
+    // Misra–Gries aggregate running under a groupBy — one O(k) sketch
+    // per language, per-language exact recount, per-language support
+    // threshold (1%). The aggregate composes with grouping for free;
+    // nothing global anywhere, so the plan is identical at any number
+    // of groups.
+    "q_hh_per_group" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      val cands = toks.groupBy(col("lang"))
+        .agg(MisraGries.candidates(col("term"), 256).as("cands"))
+        .select(col("lang"), explode(col("cands")).as("term"))
+      val totals = t(s, dir, "documents")
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy(col("lang")).agg(sum(col("nt")).as("total"))
+      toks.join(broadcast(cands), Seq("lang", "term"), "left_semi")
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+        .join(broadcast(totals), Seq("lang"))
+        .filter(col("n") * 100L >= col("total"))
+        .select(col("lang"), col("term"), col("n"))
+        .orderBy(col("lang"), col("n").desc, col("term"))
+    },
+
     // PPS systematic sample of 100 orders: sample points sit at
     // (2j+1)·W/200 along the cumulative-weight axis; an order is drawn
     // once per point inside its (cum-w, cum] span (big orders can be
@@ -263,6 +286,17 @@ object Pipeline8 {
         pqIters = 1, nprobe = 2, nQueries = 30, k = 5)
     },
 
+    // Multi-probe sign-LSH ANN: queries (vec_id < 30) probe their own
+    // bucket plus the 8 Hamming-1 neighbors — recovering exactly the
+    // near-hyperplane vectors single-bucket LSH loses, with one table's
+    // memory. Corpus side keeps a single bucket per vector; only the
+    // bounded query side fans out ×9.
+    "q_embed_ann_multiprobe" -> { (s, dir) =>
+      graft.operators.Similarity.annMultiProbeKnn(
+        graft.operators.Similarity.withNorm(t(s, dir, "embeddings")),
+        k = 5, bits = 8, nQueries = 30)
+    },
+
     // Spark 4 VARIANT: parse the JSON props column once into the binary
     // variant encoding, then extract typed paths — no per-row string
     // re-parsing downstream. `schema_of_variant` proves the stored shape.
@@ -289,6 +323,15 @@ object Pipeline8 {
         |GROUP BY term
         |HAVING COUNT(*) * 200 >= (SELECT COUNT(*) FROM toks)
         |ORDER BY n DESC, term""".stripMargin,
+    "q_hh_per_group" ->
+      """WITH toks AS (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS term
+        |  FROM documents),
+        |tot AS (SELECT lang, COUNT(*) AS total FROM toks GROUP BY lang)
+        |SELECT t.lang AS lang, t.term AS term, COUNT(*) AS n
+        |FROM toks t JOIN tot ON t.lang = tot.lang
+        |GROUP BY t.lang, t.term, tot.total
+        |HAVING COUNT(*) * 100 >= tot.total
+        |ORDER BY t.lang, n DESC, term""".stripMargin,
     "q_sample_weighted" ->
       """WITH o AS (SELECT o_orderkey,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w FROM orders),
@@ -528,6 +571,35 @@ object Pipeline8 {
         |  FROM sc)
         |SELECT query_id, neighbor_id, approx_dot, rk FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    "q_embed_ann_multiprobe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, emb, nrm,
+        |  (CASE WHEN emb[1] > 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN emb[2] > 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN emb[3] > 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN emb[4] > 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN emb[5] > 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN emb[6] > 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN emb[7] > 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN emb[8] > 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+        |p AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm,
+        |    CASE WHEN i = 0 THEN bucket
+        |      ELSE SUBSTR(bucket, 1, i - 1) ||
+        |        (CASE WHEN SUBSTR(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+        |        SUBSTR(bucket, i + 1, 8 - i) END AS probe
+        |  FROM b, generate_series(0, 8) g(i) WHERE vec_id < 30),
+        |pairs AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(p.q_emb, c.emb) / (p.q_nrm * c.nrm) AS cos
+        |  FROM p JOIN b c ON p.probe = c.bucket AND p.query_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cos, rk FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+        |  FROM pairs) x
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "q_robust_mad" ->
       """WITH med AS (SELECT l_returnflag AS rf,
         |    QUANTILE_CONT(l_quantity, 0.5) AS med
