@@ -210,6 +210,24 @@ object PropertiesSpec extends Properties("graft") {
       kept == want
     }
 
+  property("Misra-Gries candidates ⊇ true heavy hitters at any partitioning") =
+    forAll(
+      Gen.chooseNum(2, 8),                 // sketch capacity k
+      Gen.chooseNum(1, 16),                // partitions
+      Gen.listOfN(120, Gen.frequency(      // skewed term stream
+        5 -> Gen.const("hot"),
+        3 -> Gen.oneOf("warm1", "warm2"),
+        4 -> Gen.chooseNum(0, 500).map(i => s"n$i")))) { (k, parts, terms) =>
+      import spark.implicits._
+      val df = terms.toDF("term").repartition(parts)
+      val cands = df.agg(graft.functions.MisraGries.candidates(
+          org.apache.spark.sql.functions.col("term"), k))
+        .as[Seq[String]].head().toSet
+      val counts = terms.groupBy(identity).view.mapValues(_.size).toMap
+      val heavy = counts.filter(_._2 > terms.size / (k + 1)).keySet
+      cands.size <= k && (heavy -- cands).isEmpty
+    }
+
   property("asof join: all strategies and tolerances match the naive oracle") =
     forAll(asofData, Gen.option(Gen.chooseNum(0L, 10L))) { case ((l, r), tol) =>
       import spark.implicits._
