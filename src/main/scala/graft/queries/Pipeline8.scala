@@ -297,6 +297,22 @@ object Pipeline8 {
         k = 5, bits = 8, nQueries = 30)
     },
 
+    // Schema-evolution union: two generations of the documents schema
+    // (the old one carries n_chars, the new one source) combine via
+    // unionByName(allowMissingColumns) — absent columns null-fill, by
+    // NAME, not position. The lake-ingestion reality where file batches
+    // span schema versions; the positional union would silently zip the
+    // wrong columns together.
+    "q_union_evolve" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val oldGen = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val newGen = d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+      oldGen.unionByName(newGen, allowMissingColumns = true)
+        .orderBy(col("doc_id"))
+    },
+
     // Spark 4 VARIANT: parse the JSON props column once into the binary
     // variant encoding, then extract typed paths — no per-row string
     // re-parsing downstream. `schema_of_variant` proves the stored shape.
@@ -615,6 +631,13 @@ object Pipeline8 {
         |FROM dev d JOIN mad m2 ON d.rf = m2.rf
         |GROUP BY d.rf, m2.med, m2.mad
         |ORDER BY l_returnflag""".stripMargin,
+    "q_union_evolve" ->
+      """SELECT doc_id, lang, n_chars, NULL AS source
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, NULL AS n_chars, source
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
     "q_variant" ->
       """SELECT event_id,
         |  CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_val,
