@@ -298,6 +298,69 @@ object Streams {
     }
   }
 
+  /** [[sessionizeTws]] plus EVENT-TIME TIMERS: a session also closes
+    * when the watermark passes `lastSeen + gapMs` — even if that user
+    * never sends another event. Gap detection alone ([[sessionize]],
+    * [[sessionizeTws]]) only closes a session when a LATER event from
+    * the same user arrives to reveal the gap; the timer closes it from
+    * the stream's global progress. `events` must carry a watermark on
+    * `ts` before grouping.
+    */
+  def sessionizeTwsTimers(events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  private class TimerSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, UserSession] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[SessionEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserSession] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var s = if (st.exists()) st.get()
+        else SessionState(Long.MaxValue, Long.MinValue, 0, 0.0)
+      val closed = Seq.newBuilder[UserSession]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (s.n > 0 && t - s.lastSeen > gapMs) {
+          closed += UserSession(userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.lastSeen), s.n, s.total)
+          s = SessionState(t, t, 1, e.value)
+        } else {
+          s = SessionState(math.min(s.start, t), math.max(s.lastSeen, t),
+            s.n + 1, s.total + e.value)
+        }
+      }
+      if (s.n > 0) {
+        st.update(s)
+        // One live timer per user at the current idle deadline. Stale
+        // timers (lastSeen moved on) are ignored at expiry.
+        getHandle.registerTimer(s.lastSeen + gapMs)
+      } else st.clear()
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[UserSession] =
+      if (st.exists() && info.getExpiryTimeInMs >= st.get().lastSeen + gapMs) {
+        val s = st.get()
+        st.clear()
+        Iterator.single(UserSession(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.lastSeen), s.n, s.total))
+      } else Iterator.empty
+
+  }
+
   /** Streaming heavy-hitter candidates: a Misra–Gries counter map per
     * TERM SHARD held in `mapGroupsWithState` — the unbounded-stream face
     * of `graft.functions.MisraGries`. Sharding by term hash bounds state

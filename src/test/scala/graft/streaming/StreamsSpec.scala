@@ -211,6 +211,42 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time timers close idle sessions without further user events") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Streams.SessionEvent]
+      // All above t=0: rows at or below the INITIAL watermark (0) would
+      // be dropped as late before reaching the processor in EventTime mode.
+      ms.addData(
+        Streams.SessionEvent(1L, ts(3600000), 1.0),
+        Streams.SessionEvent(1L, ts(3601000), 2.0),
+        Streams.SessionEvent(2L, ts(3600000), 9.0))
+      val q = Streams.sessionizeTwsTimers(
+          ms.toDS().withWatermark("ts", "10 seconds"), gapMs = 10000)
+        .writeStream.format("memory").queryName("sess3").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // Nothing closes yet: watermark is still below both deadlines.
+        assert(spark.table("sess3").isEmpty)
+        // A third user's event advances the watermark past both idle
+        // deadlines: BOTH sessions must emit although users 1 and 2
+        // never sent another event — gap detection alone cannot do this.
+        ms.addData(Streams.SessionEvent(3L, ts(4200000), 5.0))
+        q.processAllAvailable()
+        val sessions = spark.table("sess3")
+          .select("user_id", "n_events", "total_value")
+          .as[(Long, Long, Double)].collect().toSet
+        assert(sessions === Set((1L, 2L, 3.0), (2L, 1L, 9.0)), sessions.toString)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("windowed quantiles track the per-window value distribution") {
     val dir = Files.createTempDirectory("eventsq").toString
     // One 10-min window holding values 1..100 for clicks: p50≈50, p99≈99.
