@@ -361,6 +361,55 @@ object Streams {
 
   }
 
+  /** Streaming heavy-hitter candidates on the v2 state API, with the
+    * counters as a [[org.apache.spark.sql.streaming.MapState]]: each MG
+    * increment touches ONE (term → count) entry in the state store,
+    * instead of re-serializing a whole per-shard map per micro-batch —
+    * the state-locality win the v2 API exists for. Shard/guarantee
+    * semantics identical to [[heavyHitterCandidates]]. Requires the
+    * RocksDB state store provider.
+    */
+  def heavyHitterCandidatesTws(terms: Dataset[String], nShards: Int, k: Int)
+      : Dataset[(Int, Seq[String])] = {
+    import terms.sparkSession.implicits._
+    terms.groupByKey(t => math.floorMod(t.hashCode, nShards))
+      .transformWithState(new HeavyHitterProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  private class HeavyHitterProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, String, (Int, Seq[String])] {
+    @transient private var counters: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counters = getHandle.getMapState[String, Long]("mg",
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(shard: Int, rows: Iterator[String],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Int, Seq[String])] = {
+      // MG over MapState. The decrement-all arm touches all ≤ k entries,
+      // but it amortizes O(1) per input; the common arm (counted term or
+      // free slot) is a single-entry update.
+      var size = counters.keys().size
+      rows.foreach { term =>
+        if (counters.containsKey(term)) {
+          counters.updateValue(term, counters.getValue(term) + 1L)
+        } else if (size < k) {
+          counters.updateValue(term, 1L)
+          size += 1
+        } else {
+          counters.iterator().foreach { case (t, c) =>
+            if (c <= 1L) { counters.removeKey(t); size -= 1 }
+            else counters.updateValue(t, c - 1L)
+          }
+        }
+      }
+      Iterator.single((shard, counters.keys().toSeq.sorted))
+    }
+  }
+
   /** Streaming heavy-hitter candidates: a Misra–Gries counter map per
     * TERM SHARD held in `mapGroupsWithState` — the unbounded-stream face
     * of `graft.functions.MisraGries`. Sharding by term hash bounds state

@@ -269,6 +269,33 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("MapState heavy hitters match the mapGroupsWithState formulation") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[String]
+      ms.addData(Seq.fill(50)("hot") ++ (1 to 30).map(i => s"n$i"): _*)
+      val q = Streams.heavyHitterCandidatesTws(ms.toDS(), nShards = 3, k = 4)
+        .toDF("shard", "cands")
+        .writeStream.format("memory").queryName("hh2").outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        ms.addData(Seq.fill(40)("warm") ++ (31 to 60).map(i => s"n$i"): _*)
+        q.processAllAvailable()
+        val rows = spark.table("hh2").select($"shard", $"cands")
+          .as[(Int, Seq[String])].collect()
+        val cands = rows.flatMap(_._2).toSet
+        assert(cands.contains("hot") && cands.contains("warm"), s"got $cands")
+        assert(rows.forall(_._2.size <= 4), "per-shard capacity violated")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming heavy-hitter candidates keep heavy terms across batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[String]
