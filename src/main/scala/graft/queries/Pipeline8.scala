@@ -313,6 +313,37 @@ object Pipeline8 {
         .orderBy(col("doc_id"))
     },
 
+    // NATIVE session windows: Spark's session_window aggregate merges
+    // per-user event islands inside the aggregation operator itself (the
+    // streaming-capable form), no lag/cumsum window chain. End = last
+    // event + gap by definition; merge happens while gap < 30 min.
+    // Complements q_sessionize (the manual islands formulation) and
+    // Streams.sessionize* (the stateful forms).
+    "q_session_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value"), 14, 2).as("total_value"))
+        .select(col("user_id"),
+          tsS(col("sw.start")).as("session_start"),
+          tsS(col("sw.end")).as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // listagg (SQL:2016, new in Spark 4): ordered string aggregation —
+    // the one aggregate whose result depends on ORDER, made
+    // deterministic by the mandatory WITHIN GROUP clause.
+    "q_listagg" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // Spark 4 VARIANT: parse the JSON props column once into the binary
     // variant encoding, then extract typed paths — no per-row string
     // re-parsing downstream. `schema_of_variant` proves the stored shape.
@@ -638,6 +669,32 @@ object Pipeline8 {
         |SELECT doc_id, lang, NULL AS n_chars, source
         |FROM documents WHERE doc_id % 2 = 1
         |ORDER BY doc_id""".stripMargin,
+    // Islands twin of the native session_window: new island when the gap
+    // REACHES 30 min (Spark merges strictly-inside-gap events), end =
+    // last event + gap.
+    "q_session_window" ->
+      s"""WITH e AS (SELECT *, LAG(epoch_ns(ts) // 1000, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL
+        |    OR epoch_ns(ts) // 1000 - prev_us >= 1800000000
+        |    THEN 1 ELSE 0 END AS ns FROM e),
+        |g AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f)
+        |SELECT user_id,
+        |  ${tsSqlS("MIN(ts)")} AS session_start,
+        |  ${tsSqlS("MAX(ts) + INTERVAL 30 MINUTE")} AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q_listagg" ->
+      """SELECT c_nationkey,
+        |  STRING_AGG(c_name, ',' ORDER BY c_name) AS names,
+        |  COUNT(*) AS n
+        |FROM customer WHERE c_acctbal > 9000
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_variant" ->
       """SELECT event_id,
         |  CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_val,
