@@ -344,6 +344,26 @@ object Pipeline8 {
         .orderBy(col("c_nationkey"))
     },
 
+    // The SQL-text entry path, end to end: register views, run a joined
+    // aggregation as pure SQL — with GROUP BY ALL / ORDER BY ALL (the
+    // modern shorthand both engines parse) — and return the Dataset.
+    // Everything else in the catalog is DataFrame-first; this one proves
+    // a SQL-first user gets the same engine.
+    "q_sql_text" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c.c_mktsegment AS segment,
+               o.o_orderpriority AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS revenue
+        FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY ALL
+        ORDER BY ALL""")
+    },
+
     // Spark 4 VARIANT: parse the JSON props column once into the binary
     // variant encoding, then extract typed paths — no per-row string
     // re-parsing downstream. `schema_of_variant` proves the stored shape.
@@ -695,6 +715,16 @@ object Pipeline8 {
         |  COUNT(*) AS n
         |FROM customer WHERE c_acctbal > 9000
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_sql_text" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  o.o_orderpriority AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderstatus = 'F'
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin,
     "q_variant" ->
       """SELECT event_id,
         |  CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_val,
