@@ -361,6 +361,41 @@ object Streams {
 
   }
 
+  /** Bounded recent-history state: the last `n` values per user as a
+    * [[org.apache.spark.sql.streaming.ListState]] — the third v2 state
+    * primitive (ValueState: [[sessionizeTws]], MapState:
+    * [[heavyHitterCandidatesTws]]). Emits the rolling mean over the
+    * retained window each batch (Update mode). State is O(n) per user
+    * forever, independent of stream length — the ring-buffer shape
+    * behind per-entity rolling features.
+    */
+  def rollingUserStats(events: Dataset[SessionEvent], n: Int): Dataset[(Long, Int, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RollingProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  private class RollingProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, (Long, Int, Double)] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Double] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getListState[Double]("recent",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[SessionEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Int, Double)] = {
+      val incoming = rows.toSeq.sortBy(_.ts.getTime).map(_.value)
+      val window = ((if (buf.exists()) buf.get().toSeq else Seq.empty) ++ incoming)
+        .takeRight(n)
+      buf.put(window.toArray)
+      Iterator.single((userId, window.size, window.sum / window.size))
+    }
+  }
+
   /** Streaming heavy-hitter candidates on the v2 state API, with the
     * counters as a [[org.apache.spark.sql.streaming.MapState]]: each MG
     * increment touches ONE (term → count) entry in the state store,

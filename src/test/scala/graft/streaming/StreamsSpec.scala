@@ -269,6 +269,33 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ListState ring buffer keeps the last n values across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Streams.SessionEvent]
+      ms.addData((1 to 5).map(i => Streams.SessionEvent(1L, ts(i * 1000), i.toDouble)): _*)
+      val q = Streams.rollingUserStats(ms.toDS(), n = 3)
+        .toDF("user_id", "n_window", "mean")
+        .writeStream.format("memory").queryName("roll").outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        // Batch 2 must see ONLY the retained (3,4,5), then append 6.
+        ms.addData(Streams.SessionEvent(1L, ts(6000), 6.0))
+        q.processAllAvailable()
+        val rows = spark.table("roll")
+          .select($"n_window", $"mean").as[(Int, Double)].collect().toSet
+        assert(rows.contains((3, 4.0)), s"batch 1 mean of (3,4,5): $rows")
+        assert(rows.contains((3, 5.0)), s"batch 2 mean of (4,5,6): $rows")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("MapState heavy hitters match the mapGroupsWithState formulation") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
