@@ -364,6 +364,30 @@ object Pipeline8 {
         ORDER BY ALL""")
     },
 
+    // Interval NON-coverage: clicks whose 15-min window overlaps NO
+    // purchase window — NOT EXISTS over a non-equi predicate, computed
+    // scale-safely as the binned overlap join's complement (anti join on
+    // the matched click ids). The batch twin of the outer stream-stream
+    // join's null rows.
+    "q_interval_uncovered" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("a_id"),
+          col("us").as("sa"), (col("us") + 900000000L).as("ea"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("b_id"),
+          col("us").as("sb"), (col("us") + 3600000000L).as("eb"))
+      val covered = graft.operators.IntervalJoin.overlap(
+          clicks, purchases, Seq("user_id"), "sa", "ea", "sb", "eb",
+          bucketWidth = 900000000L)
+        .select(col("a_id")).distinct()
+      clicks.join(covered, Seq("a_id"), "left_anti")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_uncovered"))
+        .orderBy(col("user_id"))
+    },
+
     // Spark 4 VARIANT: parse the JSON props column once into the binary
     // variant encoding, then extract typed paths — no per-row string
     // re-parsing downstream. `schema_of_variant` proves the stored shape.
@@ -725,6 +749,19 @@ object Pipeline8 {
         |WHERE o.o_orderstatus = 'F'
         |GROUP BY ALL
         |ORDER BY ALL""".stripMargin,
+    "q_interval_uncovered" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |    event_type FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, us AS sa,
+        |    us + 900000000 AS ea FROM e WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, us AS sb,
+        |    us + 3600000000 AS eb FROM e WHERE event_type = 'purchase')
+        |SELECT a.user_id, COUNT(*) AS n_uncovered
+        |FROM a
+        |WHERE NOT EXISTS (SELECT 1 FROM b
+        |  WHERE b.user_id = a.user_id
+        |    AND GREATEST(sa, sb) < LEAST(ea, eb))
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "q_variant" ->
       """SELECT event_id,
         |  CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_val,
