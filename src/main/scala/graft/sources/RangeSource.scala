@@ -44,7 +44,8 @@ class RangeSource extends TableProvider {
     new RangeTable(
       opts.getOrElse("start", "0").toLong,
       opts.getOrElse("end", "1000").toLong,
-      opts.getOrElse("rowsPerSplit", "100000").toLong)
+      opts.getOrElse("rowsPerSplit", "100000").toLong,
+      opts.getOrElse("rowsPerBatch", "1000").toLong)
   }
 }
 
@@ -56,17 +57,19 @@ object RangeSource {
     StructField("payload", StringType, nullable = false)))
 }
 
-private[sources] class RangeTable(start: Long, end: Long, rowsPerSplit: Long)
+private[sources] class RangeTable(start: Long, end: Long, rowsPerSplit: Long,
+    rowsPerBatch: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft_range($start, $end)"
   override def schema(): StructType = RangeSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeScanBuilder(start, end, rowsPerSplit)
+    new RangeScanBuilder(start, end, rowsPerSplit, rowsPerBatch)
 }
 
-private[sources] class RangeScanBuilder(start: Long, end: Long, rowsPerSplit: Long)
+private[sources] class RangeScanBuilder(start: Long, end: Long, rowsPerSplit: Long,
+    rowsPerBatch: Long = 1000L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -93,13 +96,26 @@ private[sources] class RangeScanBuilder(start: Long, end: Long, rowsPerSplit: Lo
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RangeScan(lo, math.max(lo, hi), rowsPerSplit, required)
+  override def build(): Scan =
+    new RangeScan(lo, math.max(lo, hi), rowsPerSplit, rowsPerBatch, required)
 }
 
 private[sources] class RangeScan(lo: Long, hi: Long, rowsPerSplit: Long,
-    required: StructType) extends Scan with Batch {
+    rowsPerBatch: Long, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Micro-batch face of the same scan: offsets are plain range
+    * positions, so a batch [start, end) re-plans to the identical rows
+    * on replay — deterministic offsets are what makes checkpoint
+    * recovery exactly-once (asserted for the file source in
+    * StreamsSpec; same contract here). Pushdown composes: the builder
+    * already clamped `lo`/`hi` and pruned columns before this scan was
+    * built, so the stream only ever generates surviving rows/columns.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RangeMicroBatchStream(lo, hi, rowsPerBatch, required)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val span = hi - lo
@@ -116,6 +132,38 @@ private[sources] class RangeScan(lo: Long, hi: Long, rowsPerSplit: Long,
 
 private[sources] case class RangeSplit(from: Long, until: Long,
     columns: Array[String]) extends InputPartition
+
+/** Offset = exclusive upper bound of rows made available so far. */
+private[sources] case class RangeOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+private[sources] class RangeMicroBatchStream(lo: Long, hi: Long,
+    rowsPerBatch: Long, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // Rows "arrive" rowsPerBatch per poll until the range drains — a
+  // deterministic rate source over generated data.
+  private var available = lo
+
+  override def initialOffset(): Offset = RangeOffset(lo)
+  override def latestOffset(): Offset = {
+    available = math.min(hi, available + rowsPerBatch)
+    RangeOffset(available)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RangeOffset].pos
+    val e = end.asInstanceOf[RangeOffset].pos
+    if (e <= s) Array.empty
+    else Array(RangeSplit(s, e, required.fieldNames))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = RangeReaderFactory
+  override def deserializeOffset(json: String): Offset = RangeOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[sources] object RangeReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {

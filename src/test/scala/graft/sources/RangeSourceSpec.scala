@@ -12,6 +12,24 @@ import graft.TestSpark
   * post-scan filtering), and column pruning reaches the reader.
   */
 class RangeSourceSpec extends AnyFunSuite {
+
+  test("micro-batch stream drains the range in rowsPerBatch offsets") {
+    val spark0 = graft.TestSpark.spark
+    import spark0.implicits._
+    val q = spark0.readStream.format("graft.sources.RangeSource")
+      .option("start", "0").option("end", "25").option("rowsPerBatch", "10")
+      .load()
+      .writeStream.format("memory").queryName("rs").outputMode("append").start()
+    try {
+      q.processAllAvailable() // latestOffset stops moving once drained
+      val ids = spark0.table("rs").select($"id").as[Long].collect().sorted
+      assert(ids.toSeq === (0L until 25L), "every row exactly once")
+      // 10 + 10 + 5: the offset log must show >= 3 micro-batches.
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   private lazy val spark = TestSpark.spark
 
   private def src(start: Long, end: Long, rowsPerSplit: Long): DataFrame =
