@@ -141,18 +141,36 @@ private[sources] case class RangeOffset(pos: Long)
 
 private[sources] class RangeMicroBatchStream(lo: Long, hi: Long,
     rowsPerBatch: Long, required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  // Rows "arrive" rowsPerBatch per poll until the range drains — a
-  // deterministic rate source over generated data.
-  private var available = lo
-
+  // Rows "arrive" rowsPerBatch per trigger until the range drains. The
+  // admission-control form derives availability from the ENGINE-supplied
+  // start offset — never from instance state. A first cut kept a
+  // `var available` advanced per poll; after a checkpoint restart that
+  // field reset to `lo` and re-served already-committed offsets as new
+  // batches (caught by the restart spec). Statelessness here is what
+  // makes recovery exactly-once.
   override def initialOffset(): Offset = RangeOffset(lo)
-  override def latestOffset(): Offset = {
-    available = math.min(hi, available + rowsPerBatch)
-    RangeOffset(available)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[RangeOffset].pos
+    val step = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
+      case _ => rowsPerBatch
+    }
+    RangeOffset(math.min(hi, s + step))
   }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control source: use latestOffset(start, limit)")
+
+  override def reportLatestOffset(): Offset = RangeOffset(hi)
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[RangeOffset].pos
     val e = end.asInstanceOf[RangeOffset].pos
