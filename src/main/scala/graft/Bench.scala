@@ -87,6 +87,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+    // The driver stores a truncated tail of the JSON line; a stderr
+    // summary of the worst cases keeps every round's ledger inspectable
+    // without a re-run.
+    val slowest = results.collect { case (n, Some(v)) => n -> v }
+      .sortBy(-_._2).take(10)
+    System.err.println("[bench] top-10 slowest:")
+    slowest.foreach { case (n, v) => System.err.println(f"[bench]   $n $v%.2fs") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"complete":${failed.isEmpty},"sf":"$sfDir"}""")
     spark.stop()
   }

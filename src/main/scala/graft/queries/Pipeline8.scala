@@ -456,7 +456,8 @@ object Pipeline8 {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // PQ unrolled in SQL exactly like the q_embed_ivf oracle: seeds →
     // one Lloyd round per subspace → codes → ADC tables → decimal-summed
-    // ranking. Subspaces are the four 16-element slices of the vector.
+    // ranking. Subspaces are the eight 8-element slices of the vector
+    // (m=8, subDim=8).
     "q_embed_pq" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),

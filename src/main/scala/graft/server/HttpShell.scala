@@ -55,6 +55,8 @@ final class HttpShell(spark: SparkSession, baseDir: String, port: Int = 3000) {
     } catch {
       case _: HttpShell.RejectedSegment =>
         respondJson(ex, 404, """{"error":"not found"}""")
+      case e: HttpShell.UnprocessableBody =>
+        respondJson(ex, 422, s"""{"error":"${esc(e.getMessage)}"}""")
       case e: BadRequestException =>
         respondJson(ex, 400, s"""{"error":"${esc(e.getMessage)}"}""")
       case e: DatasetLoadException =>
@@ -122,12 +124,37 @@ final class HttpShell(spark: SparkSession, baseDir: String, port: Int = 3000) {
       JsonRows.toJson(SortedDelays.run(lake.load(id), sorting, intParam(q, "limit"))))
   }
 
+  /** Axum `Json<RegressionRequest>` extractor parity (main.rs:123-127,
+    * serde derive at :75-80): wrong/missing Content-Type → 415, JSON
+    * syntax error → 400, well-formed JSON that fails struct
+    * deserialization (not an object / missing / non-string / duplicate
+    * field) → 422. Unknown extra fields are ignored, like serde's
+    * default. Parsing is a real recursive descent ([[MiniJson]]) so
+    * escaped quotes and \\u escapes in column names round-trip — the
+    * old regex stopped a column named `a"b` at the backslash.
+    */
   private def regression(ex: HttpExchange, id: String): Unit = {
+    val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    if (!ctype.split(";")(0).trim.equalsIgnoreCase("application/json")) {
+      respondJson(ex, 415, """{"error":"expected application/json"}"""); return
+    }
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val parsed =
+      try MiniJson.parse(body)
+      catch { case e: MiniJson.ParseException =>
+        respondJson(ex, 400, s"""{"error":"invalid json: ${esc(e.getMessage)}"}"""); return
+      }
     def field(name: String): String =
-      ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(body)
-        .map(_.group(1))
-        .getOrElse(throw BadRequestException(s"missing field: $name"))
+      try parsed match {
+        case o: MiniJson.JObj => o.get(name) match {
+          case Some(MiniJson.JStr(s)) => s
+          case Some(_) => throw new MiniJson.ParseException(s"field `$name` must be a string")
+          case None => throw new MiniJson.ParseException(s"missing field `$name`")
+        }
+        case _ => throw new MiniJson.ParseException("body must be a JSON object")
+      } catch { case e: MiniJson.ParseException =>
+        throw new HttpShell.UnprocessableBody(e.getMessage)
+      }
     val r = Regression.run(lake.load(id), field("x_col"), field("y_col"))
     val r2 = r.r2.map(_.toString).getOrElse("null")
     respondJson(ex, 200,
@@ -154,6 +181,11 @@ object HttpShell {
     * (traversal / separator smuggling) — mapped to 404 in [[route]].
     */
   private[server] final class RejectedSegment extends RuntimeException
+
+  /** Well-formed JSON that fails struct deserialization — axum's
+    * `JsonRejection::JsonDataError`, status 422.
+    */
+  private[server] final class UnprocessableBody(msg: String) extends RuntimeException(msg)
 
   /** Console page driving all three endpoints via fetch, like the
     * reference's embedded frontend (main.rs:337-520: preview at :448,

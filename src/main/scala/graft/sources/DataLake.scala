@@ -58,6 +58,11 @@ final class DataLake(spark: SparkSession, baseDir: String) {
         spark.read
           .option("header", "true")
           .option("inferSchema", "true")
+          // RFC4180 dialect like the reference's polars CsvReader
+          // (main.rs:44-52): a quote inside a quoted field is doubled
+          // (""), not backslash-escaped. Spark's default escape is \;
+          // escape==quote restores the standard dialect.
+          .option("escape", "\"")
           .csv(datasetPath(datasetId).toString)
     } catch {
       case e: Throwable =>

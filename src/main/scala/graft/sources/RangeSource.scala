@@ -115,7 +115,7 @@ private[sources] class RangeScan(lo: Long, hi: Long, rowsPerSplit: Long,
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new RangeMicroBatchStream(lo, hi, rowsPerBatch, required)
+    new RangeMicroBatchStream(lo, hi, rowsPerSplit, rowsPerBatch, required)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val span = hi - lo
@@ -140,10 +140,10 @@ private[sources] case class RangeOffset(pos: Long)
 }
 
 private[sources] class RangeMicroBatchStream(lo: Long, hi: Long,
-    rowsPerBatch: Long, required: StructType)
+    rowsPerSplit: Long, rowsPerBatch: Long, required: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows}
 
   // Rows "arrive" rowsPerBatch per trigger until the range drains. The
   // admission-control form derives availability from the ENGINE-supplied
@@ -156,14 +156,30 @@ private[sources] class RangeMicroBatchStream(lo: Long, hi: Long,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[RangeOffset].pos
-    val step = limit match {
-      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
-      case _ => rowsPerBatch
-    }
-    RangeOffset(math.min(hi, s + step))
+  /** Rows to admit this batch under `limit`. ReadAllAvailable is the
+    * Trigger.AvailableNow/Once contract — "advance to everything you
+    * have", i.e. hi, NOT one rowsPerBatch step (a first cut treated it
+    * as a default step, so a catch-up run drained one batch per trigger).
+    * Composite limits (e.g. minRows AND maxRows) unpack: maxRows caps
+    * admission; minRows is a trigger-gating hint, not an admission cap —
+    * inside a composite it must not shrink the batch to the default
+    * pacing step (every remaining row of a generated range is already
+    * "available", so the min-rows gate is trivially satisfied).
+    */
+  private def admitEnd(s: Long, limit: ReadLimit): Long = limit match {
+    case _: ReadAllAvailable => hi // everything available, regardless of span
+    case r: ReadMaxRows => math.min(hi, s + r.maxRows())
+    case c: CompositeReadLimit =>
+      val caps = c.getReadLimits.collect {
+        case _: ReadAllAvailable => hi
+        case r: ReadMaxRows => math.min(hi, s + r.maxRows())
+      }
+      if (caps.isEmpty) math.min(hi, s + rowsPerBatch) else caps.min
+    case _ => math.min(hi, s + rowsPerBatch) // ReadMinRows alone: default pacing
   }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    RangeOffset(admitEnd(start.asInstanceOf[RangeOffset].pos, limit))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -171,11 +187,23 @@ private[sources] class RangeMicroBatchStream(lo: Long, hi: Long,
 
   override def reportLatestOffset(): Offset = RangeOffset(hi)
 
+  /** Batch-path parity: a wide offset span (a catch-up batch after
+    * downtime, or Trigger.AvailableNow draining the whole range) splits
+    * by `rowsPerSplit` exactly like [[RangeScan.planInputPartitions]],
+    * so one giant micro-batch still parallelizes across the cluster
+    * instead of serializing through a single reader.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[RangeOffset].pos
     val e = end.asInstanceOf[RangeOffset].pos
     if (e <= s) Array.empty
-    else Array(RangeSplit(s, e, required.fieldNames))
+    else {
+      val n = (e - s + rowsPerSplit - 1) / rowsPerSplit
+      (0L until n).map { i =>
+        RangeSplit(s + i * rowsPerSplit, math.min(e, s + (i + 1) * rowsPerSplit),
+          required.fieldNames)
+      }.toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory = RangeReaderFactory
   override def deserializeOffset(json: String): Offset = RangeOffset(json.trim.toLong)

@@ -435,7 +435,11 @@ object Streams {
           counters.updateValue(term, 1L)
           size += 1
         } else {
-          counters.iterator().foreach { case (t, c) =>
+          // Materialize before mutating: removeKey/updateValue during a
+          // live state-store iteration is provider-dependent (fine on
+          // RocksDB snapshot iterators, CME or skipped entries on the
+          // HDFS-backed map provider).
+          counters.iterator().toList.foreach { case (t, c) =>
             if (c <= 1L) { counters.removeKey(t); size -= 1 }
             else counters.updateValue(t, c - 1L)
           }

@@ -27,6 +27,9 @@ class HttpShellSpec extends AnyFunSuite {
       "plz,einwohner,qkm\n01067,11957,6.1\n01069,25491,8.5\n01097,14821,5.2\n")
     Files.writeString(Paths.get(dir, "nodelay.csv"), "a,b\n1,2\n")
     Files.writeString(Paths.get(dir, "a+b.csv"), "c\nplus-literal\n")
+    // Column literally named a"b — the serde-parity escape target.
+    Files.writeString(Paths.get(dir, "quoted.csv"),
+      "\"a\"\"b\",y\n1,2\n2,4\n3,7\n")
     // A readable CSV OUTSIDE the lake: the traversal target.
     val outside = Files.createTempDirectory("outside")
     Files.writeString(outside.resolve("secret.csv"), "s\nTOPSECRET\n")
@@ -131,8 +134,40 @@ class HttpShellSpec extends AnyFunSuite {
     assert(r.statusCode() === 400)
   }
 
-  test("regression with malformed body → 400") {
-    assert(post("/data/plz/regression", """{"bogus":1}""").statusCode() === 400)
+  test("regression body parsing matches axum's Json extractor statuses") {
+    // valid JSON failing struct deserialization → 422 (JsonDataError)
+    assert(post("/data/plz/regression", """{"bogus":1}""").statusCode() === 422)
+    assert(post("/data/plz/regression", """{"x_col":1,"y_col":"y"}""").statusCode() === 422)
+    assert(post("/data/plz/regression", """[1,2]""").statusCode() === 422)
+    assert(post("/data/plz/regression",
+      """{"x_col":"a","x_col":"b","y_col":"y"}""").statusCode() === 422)
+    // syntax errors → 400 (JsonSyntaxError)
+    assert(post("/data/plz/regression", """{"x_col":"a""").statusCode() === 400)
+    assert(post("/data/plz/regression", """{"x_col":"a"} trailing""").statusCode() === 400)
+    assert(post("/data/plz/regression", """{'x_col':'a'}""").statusCode() === 400)
+    // wrong content-type → 415 (MissingJsonContentType)
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port/data/plz/regression"))
+        .POST(HttpRequest.BodyPublishers.ofString("""{"x_col":"qkm","y_col":"einwohner"}"""))
+        .header("Content-Type", "text/plain").build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() === 415)
+  }
+
+  test("escaped quotes and \\u escapes in column names round-trip (serde parity)") {
+    // column is literally a"b; JSON spells it a\"b or a"b
+    for (body <- Seq(
+        """{"x_col":"a\"b","y_col":"y"}""",
+        // unicode-escape form of the same quote; the doubled backslash
+        // ships the 6-char JSON escape instead of Scala pre-resolving it
+        "{\"x_col\":\"a\\u0022b\",\"y_col\":\"y\"}")) {
+      val r = post("/data/quoted/regression", body)
+      assert(r.statusCode() === 200, s"body $body → ${r.body()}")
+      assert(r.body().matches("""\{"slope":.*,"intercept":.*,"r2":.*\}"""))
+    }
+    // unknown extra fields are ignored, like serde's default
+    assert(post("/data/quoted/regression",
+      """{"x_col":"a\"b","y_col":"y","extra":[1,{"deep":null}]}""").statusCode() === 200)
   }
 
   test("bad limit → 400; bad sorting → 400") {

@@ -52,6 +52,54 @@ class RangeSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a wide micro-batch splits by rowsPerSplit like the batch path") {
+    val s = new RangeMicroBatchStream(0, 1000, rowsPerSplit = 100,
+      rowsPerBatch = 10, RangeSource.schema)
+    val parts = s.planInputPartitions(RangeOffset(0), RangeOffset(1000))
+      .map(_.asInstanceOf[RangeSplit]).sortBy(_.from)
+    assert(parts.length === 10, "catch-up batch must parallelize")
+    assert(parts.head.from === 0 && parts.last.until === 1000)
+    assert(parts.sliding(2).forall { case Array(a, b) => a.until == b.from },
+      "splits must tile the span with no gap/overlap")
+    // non-aligned remainder
+    assert(s.planInputPartitions(RangeOffset(0), RangeOffset(250)).length === 3)
+  }
+
+  test("latestOffset honors ReadAllAvailable and composite limits") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val s = new RangeMicroBatchStream(0, 1000, 100, 10, RangeSource.schema)
+    def pos(start: Long, l: ReadLimit): Long =
+      s.latestOffset(RangeOffset(start), l).asInstanceOf[RangeOffset].pos
+    // Trigger.Once-style "all available" must advance straight to hi
+    assert(pos(0, ReadLimit.allAvailable()) === 1000)
+    assert(pos(470, ReadLimit.allAvailable()) === 1000)
+    assert(pos(0, ReadLimit.maxRows(25)) === 25)
+    assert(pos(990, ReadLimit.maxRows(25)) === 1000) // clamped at hi
+    // composite (minRows AND maxRows): maxRows caps admission
+    val comp = ReadLimit.compositeLimit(
+      Array(ReadLimit.minRows(5, 1000), ReadLimit.maxRows(30)))
+    assert(pos(0, comp) === 30)
+    // minRows alone: default rowsPerBatch pacing
+    assert(pos(0, ReadLimit.minRows(5, 1000)) === 10)
+  }
+
+  test("Trigger.Once drains the whole range in one batch (ReadAllAvailable)") {
+    val spark0 = graft.TestSpark.spark
+    import spark0.implicits._
+    val q = spark0.readStream.format("graft.sources.RangeSource")
+      .option("start", "0").option("end", "40").option("rowsPerBatch", "10")
+      .load()
+      .writeStream.format("memory").queryName("rs_once")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .outputMode("append").start()
+    try {
+      q.awaitTermination(60000)
+      val ids = spark0.table("rs_once").select($"id").as[Long].collect().sorted
+      assert(ids.toSeq === (0L until 40L),
+        "one ReadAllAvailable batch must cover [start, end), not one rowsPerBatch step")
+    } finally q.stop()
+  }
+
   private lazy val spark = TestSpark.spark
 
   private def src(start: Long, end: Long, rowsPerSplit: Long): DataFrame =
