@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,18 +10,21 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and batch-shaped decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The decode kernels are STUBS (this container has no image/audio
-  * libraries): [[StubDecoder]] produces deterministic fake metadata and
-  * features from the bytes. Everything around the stub — the schema
-  * contract, the per-partition batch processing shape (the Scala
-  * equivalent of `mapInPandas`), null passthrough, and the partitioning
-  * controls — is real and tested; swapping in a JNI/javacpp decoder is a
-  * one-class change.
+  * Two decoders ship behind the pluggable [[ImageDecoder]] trait:
+  * [[ImageIoDecoder]] is the REAL one — JDK `javax.imageio` (offline-safe,
+  * no external libs): header-only metadata reads, full pixel decode for
+  * features, and PNG re-encode for [[resizeImage]]. [[StubDecoder]]
+  * remains for deterministic byte-derived fakes where the DuckDB oracle
+  * must replay the arithmetic (a SQL oracle cannot run a PNG codec —
+  * but see `q_multimodal_imageio`, whose payloads are PNGs generated
+  * from the corpus so the decoded dimensions have a closed form).
   *
   * Scale design: payload columns travel as parquet binary (dictionary-off,
   * large row groups); decode runs `mapPartitions`-style so a real decoder
-  * amortizes model/codec init per partition, not per row; partition count
-  * is controlled by bytes not rows ([[repartitionByPayload]]).
+  * amortizes codec init per partition, not per row; metadata extraction
+  * reads only the image HEADER (no pixel decode) so a 100 TB metadata
+  * pass does not pay decompression; partition count is controlled by
+  * bytes not rows ([[repartitionByPayload]]).
   */
 object Multimodal {
 
@@ -31,11 +36,90 @@ object Multimodal {
 
   /** Pluggable decoder contract: bytes → (meta, feature vector). A real
     * implementation opens the codec once per partition via `init()`.
+    * Decoders signal non-image bytes with [[UndecodablePayload]]; the
+    * batch stages map that to a null output column (bad rows survive
+    * the pipeline for quarantine instead of failing the job).
     */
   trait ImageDecoder extends Serializable {
     def init(): Unit = ()
     def meta(bytes: Array[Byte]): (Int, Int, String)
     def features(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Payload bytes no registered codec can read. */
+  final class UndecodablePayload(msg: String) extends RuntimeException(msg)
+
+  /** Real JDK decoder (`javax.imageio` — PNG/JPEG/GIF/BMP/WBMP readers
+    * ship with every JRE; no external dependency, works offline).
+    *
+    * `meta` is a HEADER-ONLY read: `ImageReader.getWidth/getHeight`
+    * parse the container header (IHDR chunk / SOF segment) without
+    * decompressing pixel data — the right cost model for a metadata
+    * pass over 100 TB of images. `features` pays the full decode and
+    * produces a normalized luminance histogram (`dim` bins, mass sums
+    * to 1), a deterministic pixel-statistics vector that feeds
+    * [[graft.operators.Similarity]] directly.
+    */
+  object ImageIoDecoder extends ImageDecoder {
+    import javax.imageio.ImageIO
+
+    override def meta(bytes: Array[Byte]): (Int, Int, String) = {
+      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new UndecodablePayload(s"no image reader for ${bytes.length} bytes")
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          (r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+        } finally r.dispose()
+      } finally iis.close()
+    }
+
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val img = decode(bytes)
+      val out = new Array[Float](dim)
+      val (w, h) = (img.getWidth, img.getHeight)
+      // Single-band (grayscale) images read raster samples directly:
+      // getRGB would round-trip them through the gray→sRGB color
+      // transform, which brightens dark values and breaks byte-exact
+      // statistics. Multi-band images use integer Rec.601 luma.
+      val gray = img.getRaster.getNumBands == 1
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val luma =
+            if (gray) img.getRaster.getSample(x, y, 0)
+            else {
+              val rgb = img.getRGB(x, y)
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+            }
+          out(luma * dim / 256) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      var i = 0
+      while (i < dim) { out(i) /= n; i += 1 }
+      out
+    }
+
+    private[operators] def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new UndecodablePayload(s"no image reader for ${bytes.length} bytes")
+      img
+    }
+
+    private[operators] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
   }
 
   /** Deterministic fake: dimensions and features derived from the bytes
@@ -63,11 +147,45 @@ object Multimodal {
   def attachPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("payload", encode(col(textCol), "UTF-8"))
 
+  /** REAL image payload attach: render each document's utf-8 bytes as the
+    * grayscale pixels of a near-square PNG (width = ceil(sqrt(n)),
+    * height = ceil(n/width), zero-padded tail), encoded with the JDK PNG
+    * writer. The payloads are genuine PNGs — [[ImageIoDecoder]] exercises
+    * its true codec path on them — while the decoded dimensions keep a
+    * closed form a SQL oracle can replay from `length(text)`.
+    */
+  def attachImagePayload(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val schema = docs.schema.add("payload", BinaryType)
+    val textIdx = docs.schema.fieldIndex(textCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.mapPartitions { it =>
+      it.map { row =>
+        val text = row.getString(textIdx)
+        val png: Array[Byte] =
+          if (text == null) null
+          else {
+            val bytes = text.getBytes(StandardCharsets.UTF_8)
+            val n = bytes.length
+            val w = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+            val h = math.max(1, (n + w - 1) / w)
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var i = 0
+            while (i < n) { raster.setSample(i % w, i / w, 0, bytes(i) & 0xff); i += 1 }
+            ImageIoDecoder.encodePng(img)
+          }
+        Row.fromSeq(row.toSeq :+ png)
+      }
+    }(encoder)
+  }
+
   /** Batch decode: payload → metadata struct. Runs per-partition with a
     * decoder instance initialized once per partition (mapInPandas shape).
+    * Null or undecodable payloads → null struct (quarantine, not failure).
     */
   def decodeMeta(df: DataFrame, payloadCol: String = "payload",
-      decoder: ImageDecoder = StubDecoder): DataFrame = {
+      decoder: ImageDecoder = ImageIoDecoder): DataFrame = {
     val schema = df.schema.add("image_meta", imageMetaType)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
@@ -77,10 +195,11 @@ object Multimodal {
         val bytes = row.getAs[Array[Byte]](payloadIdx)
         val metaRow: Row =
           if (bytes == null) null
-          else {
-            val (w, h, fmt) = decoder.meta(bytes)
-            Row(w, h, fmt, bytes.length.toLong)
-          }
+          else
+            try {
+              val (w, h, fmt) = decoder.meta(bytes)
+              Row(w, h, fmt, bytes.length.toLong)
+            } catch { case _: UndecodablePayload => null }
         Row.fromSeq(row.toSeq :+ metaRow)
       }
     }(encoder)
@@ -90,7 +209,7 @@ object Multimodal {
     * feeds straight into [[Similarity]]).
     */
   def extractFeatures(df: DataFrame, dim: Int = 16, payloadCol: String = "payload",
-      decoder: ImageDecoder = StubDecoder): DataFrame = {
+      decoder: ImageDecoder = ImageIoDecoder): DataFrame = {
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val schema = df.schema.add("features", ArrayType(FloatType))
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
@@ -98,8 +217,45 @@ object Multimodal {
       decoder.init()
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](payloadIdx)
-        val feats = if (bytes == null) null else decoder.features(bytes, dim).toSeq
+        val feats =
+          if (bytes == null) null
+          else
+            try decoder.features(bytes, dim).toSeq
+            catch { case _: UndecodablePayload => null }
         Row.fromSeq(row.toSeq :+ feats)
+      }
+    }(encoder)
+  }
+
+  /** Real resize: decode, bilinear-scale to `targetW`×`targetH`, re-encode
+    * as PNG into a `resized` binary column. Per-partition batch shape like
+    * [[decodeMeta]]; undecodable payloads → null.
+    */
+  def resizeImage(df: DataFrame, targetW: Int, targetH: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = df.schema.add("resized", BinaryType)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        val out: Array[Byte] =
+          if (bytes == null) null
+          else
+            try {
+              val src = ImageIoDecoder.decode(bytes)
+              val dst = new java.awt.image.BufferedImage(
+                targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(src, 0, 0, targetW, targetH, null)
+              } finally g.dispose()
+              ImageIoDecoder.encodePng(dst)
+            } catch { case _: UndecodablePayload => null }
+        Row.fromSeq(row.toSeq :+ out)
       }
     }(encoder)
   }

@@ -369,13 +369,30 @@ object Extensions {
     // mapPartitions batch shape is the real plumbing under test).
     "q_multimodal_meta" -> { (s, dir) =>
       val withPayload = Multimodal.attachPayload(t(s, dir, "documents"))
-      Multimodal.decodeMeta(withPayload)
+      Multimodal.decodeMeta(withPayload, decoder = Multimodal.StubDecoder)
         .select(
           col("doc_id"),
           col("image_meta.width").cast("long").as("w"),
           col("image_meta.height").cast("long").as("h"),
           col("image_meta.format").as("fmt"),
           col("image_meta.n_bytes").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+
+    // REAL codec round-trip: every document rendered as a genuine PNG
+    // (grayscale pixels = utf-8 bytes, near-square) then decoded with the
+    // javax.imageio reader — header-only metadata read, true PNG parsing.
+    // The oracle replays the closed-form dimensions from length(text);
+    // format comes from the codec itself, so a hash match proves real
+    // decode, not arithmetic replay.
+    "q_multimodal_imageio" -> { (s, dir) =>
+      val withPng = Multimodal.attachImagePayload(t(s, dir, "documents"))
+      Multimodal.decodeMeta(withPng, decoder = Multimodal.ImageIoDecoder)
+        .select(
+          col("doc_id"),
+          col("image_meta.width").cast("long").as("w"),
+          col("image_meta.height").cast("long").as("h"),
+          col("image_meta.format").as("fmt"))
         .orderBy(col("doc_id"))
     })
 
@@ -706,5 +723,17 @@ object Extensions {
         |    THEN ascii(SUBSTR(text, 2, 1)) % 128 ELSE 0 END AS BIGINT) AS h,
         |  CASE WHEN STRLEN(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
         |  CAST(STRLEN(text) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Closed form of attachImagePayload's near-square layout: the Spark
+    // side reads w/h back out of the PNG IHDR with a real codec; the
+    // oracle recomputes them from the byte length (STRLEN = bytes in
+    // DuckDB). Both sides use correctly-rounded IEEE sqrt, so
+    // CEIL(SQRT(n)) agrees exactly.
+    "q_multimodal_imageio" ->
+      """WITH d AS (SELECT doc_id, STRLEN(text) AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |  GREATEST(1, CAST(CEIL(SQRT(n)) AS BIGINT)) AS w FROM d)
+        |SELECT doc_id, w, CAST(GREATEST(1, (n + w - 1) // w) AS BIGINT) AS h,
+        |  'png' AS fmt
+        |FROM s ORDER BY doc_id""".stripMargin)
 }
