@@ -156,11 +156,13 @@ object Similarity {
   /** Long-format sub-vectors for product quantization: one row per
     * (vec_id, subspace), with the same round-to-3-decimals quantized
     * twins as [[quantized]] so Lloyd means stay exact and order-free.
+    * `embCol` selects the vector to slice (raw `emb`, or a residual).
     */
-  private def pqSubvectors(e: DataFrame, m: Int, subDim: Int): DataFrame =
+  private def pqSubvectors(e: DataFrame, m: Int, subDim: Int,
+      embCol: String = "emb"): DataFrame =
     e.select(col("vec_id"),
         posexplode(array((0 until m).map(s =>
-          slice(col("emb"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "subemb")))
+          slice(col(embCol), s * subDim + 1, subDim)): _*)).as(Seq("sub", "subemb")))
       .withColumn("qsub", expr("transform(subemb, v -> ROUND(v, 3))"))
       .withColumn("qd", expr("transform(subemb, v -> CAST(ROUND(v, 3) AS DECIMAL(10,3)))"))
 
@@ -258,9 +260,8 @@ object Similarity {
     * SQL oracle replays it end to end.
     *
     * `embeddings` must be pre-normed via [[withNorm]]. PQ codebooks here
-    * quantize the raw vectors (not per-cell residuals — documented
-    * simplification; residual PQ adds a subtract step per cell at the
-    * same plan shape).
+    * quantize the raw vectors; [[ivfPqResidualKnn]] is the
+    * higher-recall variant that quantizes per-cell residuals.
     */
   def ivfPqKnn(embeddings: DataFrame, nCells: Int, cellIters: Int,
       m: Int, subDim: Int, ks: Int, pqIters: Int,
@@ -294,6 +295,76 @@ object Similarity {
           col("code") === col("t_code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("t").cast("decimal(20,9)")).as("appx"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("appx").cast("double").as("approx_dot"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Residual IVF-PQ — [[ivfPqKnn]] with the PQ codebooks trained on
+    * per-cell RESIDUALS (`emb - centroid(cell)`) instead of raw vectors.
+    * Residuals are centered near zero with far smaller spread than the
+    * raw corpus, so the same ks codebook entries quantize them with much
+    * lower error — the standard IVF-PQ recall win (Jégou et al., PAMI
+    * 2011, §III). ADC decomposes accordingly:
+    * `dot(q, c) ≈ dot(q, centroid(cell_c)) + Σ_sub dot(q_sub, code_sub)`,
+    * where the first term is a (query × probed-cell) scalar — nQueries·
+    * nprobe rows, broadcast — and the second is the usual m table
+    * lookups. Plan shape is IDENTICAL to the raw variant (one extra
+    * broadcast-join of the qc term); only the trained codebooks differ.
+    * The whole construction stays decimal-exact and SQL-replayable:
+    * residuals are rounded to 3 decimals before Lloyd folding, and the
+    * final score folds (m + 1) terms through DECIMAL(20,9).
+    */
+  def ivfPqResidualKnn(embeddings: DataFrame, nCells: Int, cellIters: Int,
+      m: Int, subDim: Int, ks: Int, pqIters: Int,
+      nprobe: Int, nQueries: Int, k: Int): DataFrame = {
+    val q = quantized(embeddings)
+    val cents = ivfCentroids(q, nCells, cellIters)
+    val corpusCells = assignCells(q, cents, nprobe = 1)
+      .select(col("vec_id"), col("cell"))
+    // Residual vectors: raw emb minus the assigned cell's centroid
+    // (broadcast k-row join — narrow, no shuffle of the corpus).
+    val resid = q.select(col("vec_id"), col("emb"))
+      .join(corpusCells, Seq("vec_id"))
+      .join(broadcast(cents.select(col("c_id").as("cell"), col("c_emb"))), Seq("cell"))
+      .withColumn("remb", expr("zip_with(emb, c_emb, (a, b) -> a - b)"))
+      .select(col("vec_id"), col("cell"), col("remb"))
+    val rsubs = pqSubvectors(resid, m, subDim, embCol = "remb")
+    val books = pqCodebooks(rsubs, ks, pqIters)
+    val codes = pqAssign(rsubs, books)
+      .select(col("vec_id"), col("sub"), col("c_id").as("code"))
+    // Query side stays RAW (asymmetric distance): lookup tables over the
+    // residual codebooks, plus the query×centroid scalar per probed cell.
+    val subs = pqSubvectors(embeddings, m, subDim)
+    val tab = subs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("t_query"), col("sub").as("t_sub"), col("subemb"))
+      .join(broadcast(books.select(col("sub").as("t_sub"),
+        col("c_id").as("t_code"), col("c_emb"))), Seq("t_sub"))
+      .select(col("t_query"), col("t_sub"), col("t_code"),
+        dot(col("subemb"), col("c_emb")).as("t"))
+    val queryCells = assignCells(q.filter(col("vec_id") < nQueries), cents, nprobe)
+    val qcTab = queryCells
+      .select(col("vec_id").as("query_id"), col("cell"), col("emb").as("q_emb"))
+      .join(broadcast(cents.select(col("c_id").as("cell"), col("c_emb"))), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        dot(col("q_emb"), col("c_emb")).as("qc"))
+    val pairs = corpusCells
+      .join(broadcast(queryCells.select(col("vec_id").as("query_id"), col("cell"))),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("vec_id"), col("query_id"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("appx").desc, col("neighbor_id"))
+    pairs.join(codes, Seq("vec_id"))
+      .join(broadcast(tab),
+        col("query_id") === col("t_query") && col("sub") === col("t_sub") &&
+          col("code") === col("t_code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"))
+      .agg(sum(col("t").cast("decimal(20,9)")).as("tsum"))
+      .join(broadcast(qcTab), Seq("query_id", "cell"))
+      .withColumn("appx", col("tsum") + col("qc").cast("decimal(20,9)"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"),

@@ -286,6 +286,18 @@ object Pipeline8 {
         pqIters = 1, nprobe = 2, nQueries = 30, k = 5)
     },
 
+    // Residual IVF-PQ: same composite shape, but the PQ codebooks
+    // quantize per-cell residuals (emb - centroid) — centered, small-
+    // spread values the same 16 entries encode with far less error.
+    // ADC adds back the query×centroid scalar per probed cell. The
+    // recall improvement over q_embed_ivfpq is pinned in Pipeline8Spec.
+    "q_embed_ivfpq_res" -> { (s, dir) =>
+      graft.operators.Similarity.ivfPqResidualKnn(
+        graft.operators.Similarity.withNorm(t(s, dir, "embeddings")),
+        nCells = 16, cellIters = 1, m = 8, subDim = 8, ks = 16,
+        pqIters = 1, nprobe = 2, nQueries = 30, k = 5)
+    },
+
     // Multi-probe sign-LSH ANN: queries (vec_id < 30) probe their own
     // bucket plus the 8 Hamming-1 neighbors — recovering exactly the
     // near-hyperplane vectors single-bucket LSH loses, with one table's
@@ -661,6 +673,112 @@ object Pipeline8 {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY appx DESC, neighbor_id) AS BIGINT) AS rk
         |  FROM sc)
+        |SELECT query_id, neighbor_id, approx_dot, rk FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    // Residual IVF-PQ: q_embed_ivfpq's CTE chain with the PQ stage fed
+    // per-cell residuals (rv = emb[pos] - centroid[pos] via the d1 dims
+    // table) and the ADC score completed by the query×centroid scalar.
+    // Every stage keeps the decimal-exact folding, so the hash matches.
+    "q_embed_ivfpq_res" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id, emb, nrm,
+        |    list_transform(emb, v -> ROUND(v, 3)) AS qemb,
+        |    list_transform(emb, v -> CAST(ROUND(v, 3) AS DECIMAL(10,3)))
+        |      AS qd
+        |  FROM e),
+        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm
+        |  FROM e WHERE vec_id < 16),
+        |a1 AS (SELECT vec_id, qd, cell FROM (
+        |  SELECT v.vec_id, v.qd, c.c_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_inner_product(v.qemb, c.c_emb) / c.c_nrm DESC, c.c_id) AS rk
+        |  FROM qv v CROSS JOIN c0 c) x WHERE rk = 1),
+        |d1 AS (SELECT cell, pos, CAST(SUM(qval) AS DOUBLE)/COUNT(*) AS cv
+        |  FROM (SELECT cell, generate_subscripts(qd, 1) AS pos,
+        |      unnest(qd) AS qval FROM a1) u
+        |  GROUP BY cell, pos),
+        |c1 AS (SELECT cell AS c_id, LIST(cv ORDER BY pos) AS c_emb,
+        |    SQRT(list_inner_product(LIST(cv ORDER BY pos),
+        |      LIST(cv ORDER BY pos))) AS c_nrm
+        |  FROM d1 GROUP BY cell),
+        |cca AS (SELECT vec_id, cell FROM (
+        |  SELECT v.vec_id, c.c_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_inner_product(v.qemb, c.c_emb) / c.c_nrm DESC, c.c_id) AS rk
+        |  FROM qv v CROSS JOIN c1 c) x WHERE rk = 1),
+        |qca AS (SELECT vec_id AS query_id, cell FROM (
+        |  SELECT v.vec_id, c.c_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_inner_product(v.qemb, c.c_emb) / c.c_nrm DESC, c.c_id) AS rk
+        |  FROM qv v CROSS JOIN c1 c WHERE v.vec_id < 30) x WHERE rk <= 2),
+        |ed AS (SELECT vec_id, generate_subscripts(emb, 1) AS pos,
+        |    unnest(emb) AS ev FROM e),
+        |res AS (SELECT ed.vec_id, ed.pos, ed.ev - d.cv AS rv
+        |  FROM ed JOIN cca a ON a.vec_id = ed.vec_id
+        |  JOIN d1 d ON d.cell = a.cell AND d.pos = ed.pos),
+        |rsl AS (SELECT vec_id, CAST((pos - 1) // 8 AS INT) AS sub,
+        |    LIST(rv ORDER BY pos) AS subemb,
+        |    LIST(ROUND(rv, 3) ORDER BY pos) AS qsub,
+        |    LIST(CAST(ROUND(rv, 3) AS DECIMAL(10,3)) ORDER BY pos) AS qd
+        |  FROM res GROUP BY vec_id, sub),
+        |pb0 AS (SELECT sub, vec_id AS c_id, subemb AS c_emb FROM rsl
+        |  WHERE vec_id < 16),
+        |pba AS (SELECT vec_id, sub, qd, c_id AS cell FROM (
+        |  SELECT v.vec_id, v.sub, v.qd, c.c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+        |      list_inner_product(v.qsub, v.qsub)
+        |        - 2 * list_inner_product(v.qsub, c.c_emb)
+        |        + list_inner_product(c.c_emb, c.c_emb), c.c_id) AS rk
+        |  FROM rsl v JOIN pb0 c ON v.sub = c.sub) x WHERE rk = 1),
+        |pbd AS (SELECT sub, cell, pos, CAST(SUM(qval) AS DOUBLE)/COUNT(*) AS cv
+        |  FROM (SELECT sub, cell, generate_subscripts(qd, 1) AS pos,
+        |      unnest(qd) AS qval FROM pba) u
+        |  GROUP BY sub, cell, pos),
+        |pb1 AS (SELECT sub, cell AS c_id, LIST(cv ORDER BY pos) AS c_emb
+        |  FROM pbd GROUP BY sub, cell),
+        |codes AS (SELECT vec_id, sub, c_id AS code FROM (
+        |  SELECT v.vec_id, v.sub, c.c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+        |      list_inner_product(v.qsub, v.qsub)
+        |        - 2 * list_inner_product(v.qsub, c.c_emb)
+        |        + list_inner_product(c.c_emb, c.c_emb), c.c_id) AS rk
+        |  FROM rsl v JOIN pb1 c ON v.sub = c.sub) x WHERE rk = 1),
+        |ps AS (
+        |  SELECT vec_id, 0 AS sub, emb[1:8] AS subemb FROM e
+        |  UNION ALL SELECT vec_id, 1, emb[9:16] FROM e
+        |  UNION ALL SELECT vec_id, 2, emb[17:24] FROM e
+        |  UNION ALL SELECT vec_id, 3, emb[25:32] FROM e
+        |  UNION ALL SELECT vec_id, 4, emb[33:40] FROM e
+        |  UNION ALL SELECT vec_id, 5, emb[41:48] FROM e
+        |  UNION ALL SELECT vec_id, 6, emb[49:56] FROM e
+        |  UNION ALL SELECT vec_id, 7, emb[57:64] FROM e),
+        |tab AS (SELECT q.vec_id AS query_id, q.sub, c.c_id,
+        |    list_inner_product(q.subemb, c.c_emb) AS t
+        |  FROM ps q JOIN pb1 c ON q.sub = c.sub WHERE q.vec_id < 30),
+        |qct AS (SELECT qca.query_id, qca.cell,
+        |    list_inner_product(e.emb, c.c_emb) AS qc
+        |  FROM qca JOIN e ON e.vec_id = qca.query_id
+        |  JOIN c1 c ON c.c_id = qca.cell),
+        |pairs AS (SELECT cca.vec_id, cca.cell, qca.query_id
+        |  FROM cca JOIN qca USING (cell)
+        |  WHERE cca.vec_id <> qca.query_id),
+        |sc AS (SELECT p.query_id, p.vec_id AS neighbor_id, p.cell,
+        |    SUM(CAST(t2.t AS DECIMAL(20,9))) AS tsum
+        |  FROM pairs p
+        |  JOIN codes k ON p.vec_id = k.vec_id
+        |  JOIN tab t2 ON t2.query_id = p.query_id AND t2.sub = k.sub
+        |    AND t2.c_id = k.code
+        |  GROUP BY 1, 2, 3),
+        |sc2 AS (SELECT sc.query_id, sc.neighbor_id,
+        |    sc.tsum + CAST(q.qc AS DECIMAL(20,9)) AS appx
+        |  FROM sc JOIN qct q ON q.query_id = sc.query_id AND q.cell = sc.cell),
+        |r AS (SELECT query_id, neighbor_id, CAST(appx AS DOUBLE) AS approx_dot,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY appx DESC, neighbor_id) AS BIGINT) AS rk
+        |  FROM sc2)
         |SELECT query_id, neighbor_id, approx_dot, rk FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
     "q_embed_ann_multiprobe" ->

@@ -141,6 +141,59 @@ class Pipeline8Spec extends AnyFunSuite {
     assert(overlap >= 60, s"composite diverged from full ADC: $overlap/150")
   }
 
+  test("residual PQ beats raw PQ on ADC score fidelity (sf0.01)") {
+    // Same IVF stage ⇒ IDENTICAL candidate sets; any difference is pure
+    // quantization error. Residuals are centered with smaller spread
+    // than raw vectors (measured E||r||² ≈ 0.905 vs E||x||² = 1 on this
+    // corpus), so 16 codebook entries encode them more faithfully —
+    // Jégou et al., PAMI 2011 §III. Fidelity is measured over ALL
+    // scored pairs (k = ∞): a top-5-only comparison is selection-biased
+    // toward pairs whose approximation happens to overshoot, which
+    // rewards noisier codebooks.
+    val d01 = "/root/testdata/sf0.01"
+    val e = graft.operators.Similarity.withNorm(
+      graft.Tables(spark, d01, "embeddings"))
+    val raw = graft.operators.Similarity.ivfPqKnn(
+      e, nCells = 16, cellIters = 1, m = 8, subDim = 8, ks = 16,
+      pqIters = 1, nprobe = 2, nQueries = 30, k = Int.MaxValue).cache()
+    val res = graft.operators.Similarity.ivfPqResidualKnn(
+      e, nCells = 16, cellIters = 1, m = 8, subDim = 8, ks = 16,
+      pqIters = 1, nprobe = 2, nQueries = 30, k = Int.MaxValue).cache()
+    def meanErr(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val r = df.as("a")
+        .join(e.as("q"), $"a.query_id" === $"q.vec_id")
+        .join(e.as("c"), $"a.neighbor_id" === $"c.vec_id")
+        .select(abs($"a.approx_dot" -
+          graft.functions.VectorFunctions.dot($"q.emb", $"c.emb")).as("err"))
+        .agg(avg($"err"), count(lit(1))).head()
+      (r.getDouble(0), r.getLong(1))
+    }
+    val ((rawErr, rawN), (resErr, resN)) = (meanErr(raw), meanErr(res))
+    assert(rawN === resN, "shared IVF stage must yield identical candidate sets")
+    // Measured on this corpus: raw ≈ 0.083, residual ≈ 0.068 (−18%).
+    // Gate at 5% so data regeneration noise can't flap the test.
+    assert(resErr < rawErr * 0.95,
+      f"residual ADC must approximate dots better: $resErr%.4f vs $rawErr%.4f over $rawN pairs")
+    // Recall floor: top-5 of each must still find exact IP top-1s at the
+    // rate the probed-cell ceiling allows (~1/3 of queries here); this
+    // guards "residual path silently broken", not a marketing number.
+    val w = Window.partitionBy($"query_id").orderBy($"ip".desc, $"neighbor_id")
+    val exact1 = e.as("q").filter($"q.vec_id" < 30)
+      .join(e.as("c"), $"q.vec_id" =!= $"c.vec_id")
+      .select($"q.vec_id".as("query_id"), $"c.vec_id".as("neighbor_id"),
+        graft.functions.VectorFunctions.dot($"q.emb", $"c.emb").as("ip"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val resTop5 = res.filter($"rk" <= 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val resHits = exact1.count { case (q, nn) =>
+      resTop5.getOrElse(q, Set()).contains(nn) }
+    assert(resHits >= 6, s"residual recall@5 collapsed: $resHits/30")
+    raw.unpersist(); res.unpersist()
+  }
+
   test("multi-probe LSH recalls at least as much as single-bucket LSH") {
     val e = graft.operators.Similarity.withNorm(
       graft.Tables(spark, dir, "embeddings"))
