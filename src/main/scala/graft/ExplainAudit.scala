@@ -1,6 +1,11 @@
-import org.apache.spark.sql.execution.SparkPlan
+package graft
+
+import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec,
+  RDDScanExec, SortExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+  TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
 import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
 
 /** Plan-shape audit CLI: per catalog query, counts parquet scans,
@@ -8,11 +13,35 @@ import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
   * the quick "would this survive 100×" triage before reading a full
   * `.explain("formatted")`.
   *
-  * Nested-loop joins are split into two flags: `bnlj` (a real unbounded
-  * nested loop — the scale-killer) and `scalarBnlj` (the build side is a
-  * global no-key aggregate, i.e. exactly one row — the standard plan for
-  * "cross join a computed scalar", O(N) and harmless). Auditing them as
-  * one category buried the signal in scalar-subquery noise.
+  * Nested-loop joins are split into three flags so `bnlj=true` stays a
+  * zero-tolerance signal:
+  *  - `bnlj` — a REAL unbounded nested loop: the build side can grow
+  *    with the data. The scale-killer class; nothing in the catalog may
+  *    plan one.
+  *  - `scalarBnlj` — the build side is a grouping-key-free aggregate:
+  *    exactly one row, the standard "cross join a computed scalar"
+  *    plan. O(N), harmless.
+  *  - `boundedBnlj` — the build side ends in a subtree whose row count
+  *    is structurally bounded: a grouped aggregate over a small key
+  *    domain, a limit, or a localCheckpoint leaf of such a frame (this
+  *    repo's pattern for materialized k-row centroid/codebook frames —
+  *    `Similarity.ivfCentroids` ends in `.localCheckpoint()`, so the
+  *    broadcast build is an `RDDScanExec`). The k-means assignment
+  *    passes of `q_embed_ivf*` are N×k scans with bounded k: the
+  *    correct plan, not a defect.
+  *
+  * Classification WALKS DOWN from the build root through node types
+  * that cannot increase the row bound (project/filter/sort/exchange/
+  * limit/codegen wrappers). It does NOT use an unrestricted subtree
+  * search: a plan that re-expands a bounded frame (explode/join above
+  * the aggregate) must classify as a real `bnlj`, not hide behind the
+  * aggregate below it.
+  *
+  * Known false-positive direction: `boundedBnlj` trusts that an
+  * `RDDScanExec` build (localCheckpoint) or a grouped aggregate is
+  * small — a checkpointed billion-row frame would still classify
+  * bounded. The audit is a triage tool; PlanQualitySpec pins the known
+  * instances by name.
   *
   * Usage: `sbt "runMain ExplainAudit q_foo q_bar"` (all queries if no
   * args). Complements PlanQualitySpec, which pins the same properties
@@ -20,24 +49,55 @@ import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
   */
 object ExplainAudit {
 
-  /** True when this BNLJ's broadcast side provably produces ≤ 1 row:
-    * its subtree ends in a grouping-key-free aggregate (or reuses an
-    * exchange of one — ReusedExchangeExec is a leaf, so inspect the
-    * whole-plan context supplied by the caller).
+  sealed trait BnljClass
+  case object RealBnlj extends BnljClass
+  case object ScalarBnlj extends BnljClass
+  case object BoundedBnlj extends BnljClass
+
+  /** Classify one BNLJ by its build side. `whole` is the full plan, for
+    * resolving `ReusedExchangeExec` builds (the reused exchange is a
+    * leaf; the scalar aggregate it duplicates lives elsewhere).
     */
-  private def isScalar(j: BroadcastNestedLoopJoinExec, whole: SparkPlan): Boolean = {
+  def classify(j: BroadcastNestedLoopJoinExec, whole: SparkPlan): BnljClass = {
     val build = j.buildSide match {
       case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
       case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
     }
-    def scalarTree(p: SparkPlan): Boolean =
-      p.find {
-        case a: BaseAggregateExec => a.groupingExpressions.isEmpty
-        case _ => false
-      }.isDefined
-    scalarTree(build) ||
-      // reused broadcast of a scalar computed elsewhere in the plan
-      (build.find(_.isInstanceOf[ReusedExchangeExec]).isDefined && scalarTree(whole))
+    classifyBuild(build, whole)
+  }
+
+  private def classifyBuild(build: SparkPlan, whole: SparkPlan): BnljClass =
+    boundRoot(build) match {
+      case Some(a: BaseAggregateExec) =>
+        if (a.groupingExpressions.isEmpty) ScalarBnlj else BoundedBnlj
+      case Some(_: GlobalLimitExec) | Some(_: LocalLimitExec) |
+          Some(_: TakeOrderedAndProjectExec) => BoundedBnlj
+      case Some(_: RDDScanExec) => BoundedBnlj // localCheckpoint leaf
+      case Some(_: ReusedExchangeExec) =>
+        // Broadcast reused from elsewhere in the plan: fall back to a
+        // whole-plan scan for a no-key aggregate (the only reuse pattern
+        // in this catalog). Conservative: grouped reuse stays Real.
+        if (whole.find {
+          case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+          case _ => false
+        }.isDefined) ScalarBnlj else RealBnlj
+      case _ => RealBnlj
+    }
+
+  /** Descend through nodes that cannot increase the row bound and
+    * return the first bound-establishing (or unknown) node. Explodes,
+    * joins, unions, generators — anything that can multiply rows —
+    * terminates the walk as `None`-equivalent (the node itself, which
+    * the caller classifies Real).
+    */
+  private def boundRoot(p: SparkPlan): Option[SparkPlan] = p match {
+    case w: WholeStageCodegenExec => boundRoot(w.child)
+    case i: InputAdapter => boundRoot(i.child)
+    case e: Exchange => boundRoot(e.child)
+    case pr: ProjectExec => boundRoot(pr.child)
+    case f: FilterExec => boundRoot(f.child)
+    case s: SortExec => boundRoot(s.child)
+    case other => Some(other)
   }
 
   def main(args: Array[String]): Unit = {
@@ -57,10 +117,12 @@ object ExplainAudit {
       val scans = p.split("Scan parquet").length - 1
       val exch = p.split("Exchange").length - 1
       val rddScans = p.split("Scan ExistingRDD").length - 1
-      val bnl = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
-      val (scalar, real) = bnl.partition(isScalar(_, plan))
+      val classes = plan.collect { case j: BroadcastNestedLoopJoinExec =>
+        classify(j, plan) }
       println(s"AUDIT $q: parquetScans=$scans exchanges=$exch rddScans=$rddScans " +
-        s"bnlj=${real.nonEmpty} scalarBnlj=${scalar.size} " +
+        s"bnlj=${classes.contains(RealBnlj)} " +
+        s"boundedBnlj=${classes.count(_ == BoundedBnlj)} " +
+        s"scalarBnlj=${classes.count(_ == ScalarBnlj)} " +
         s"cart=${p.contains("CartesianProduct")}")
     }
     spark.stop()

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.{SparkEntry, TestSpark}
+import graft.{ExplainAudit, SparkEntry, TestSpark}
 
 /** Physical-plan assertions for the headline queries — the properties
   * that decide whether these plans survive a 100 TB scale-up. A green
@@ -259,5 +259,73 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q_embed_pq")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  private def bnljClasses(q: String): Seq[ExplainAudit.BnljClass] = {
+    val physical = SparkEntry.queries(q)(spark, dir)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    physical.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        ExplainAudit.classify(j, physical)
+    }
+  }
+
+  test("IVF centroid-assignment BNLJs classify bounded, never real") {
+    // assignCells joins N vectors against a broadcast of <= nCells
+    // centroid rows with no equi-key — an N×k pass with k bounded, the
+    // correct k-means assignment plan. The audit must report it as
+    // boundedBnlj so bnlj=true stays a zero-tolerance signal.
+    for (q <- Seq("q_embed_ivf", "q_embed_ivfpq", "q_embed_ivfpq_res")) {
+      val cls = bnljClasses(q)
+      assert(cls.nonEmpty, s"$q: expected centroid-assignment BNLJs")
+      assert(!cls.contains(ExplainAudit.RealBnlj),
+        s"$q: bounded centroid assignment misclassified as real BNLJ")
+      assert(cls.contains(ExplainAudit.BoundedBnlj), s"$q: $cls")
+    }
+  }
+
+  test("a genuinely unbounded nested loop still classifies real") {
+    import org.apache.spark.sql.functions._
+    val a = graft.Tables(spark, dir, "orders").select(col("o_orderkey"))
+    val b = graft.Tables(spark, dir, "customer").select(col("c_custkey"))
+    val physical = a.join(b, col("o_orderkey") < col("c_custkey"))
+      .queryExecution.executedPlan match {
+      case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        ad.executedPlan
+      case p => p
+    }
+    val cls = physical.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        ExplainAudit.classify(j, physical)
+    }
+    assert(cls.contains(ExplainAudit.RealBnlj), s"unbounded join hidden: $cls")
+  }
+
+  test("a scalar re-expanded by explode classifies real, not scalar") {
+    // The old isScalar used an unrestricted subtree find: ANY no-key
+    // aggregate below the build root passed, so explode(agg) — which can
+    // multiply rows without bound — audited as harmless. The walk-down
+    // must stop at the generator.
+    import org.apache.spark.sql.functions._
+    val a = graft.Tables(spark, dir, "orders").select(col("o_orderkey"))
+    val build = graft.Tables(spark, dir, "lineitem")
+      .agg(collect_list(col("l_orderkey")).as("ks"))
+      .select(explode(col("ks")).as("k")) // no-key agg, then re-expanded
+    val physical = a.join(build, col("o_orderkey") < col("k"))
+      .queryExecution.executedPlan match {
+      case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        ad.executedPlan
+      case p => p
+    }
+    val cls = physical.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        ExplainAudit.classify(j, physical)
+    }
+    assert(cls.nonEmpty && cls.forall(_ == ExplainAudit.RealBnlj),
+      s"explode-above-scalar must classify real: $cls")
   }
 }
