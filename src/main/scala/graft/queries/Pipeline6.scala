@@ -168,28 +168,58 @@ object Pipeline6 {
     // Three Lloyd-style rounds of join+aggregate; contributions cross
     // the shuffle as exact DECIMAL(16,10), so the double chain
     // 0.15 + 0.85·Σ is bit-deterministic and oracle-replayable.
+    //
+    // Shuffle story (6.6s → ~3.7s warm at sf0.1, and the shape a 1000-
+    // executor run wants):
+    //  - Edges come from ONE hash(ok) aggregation + a map-side pair
+    //    explode, not a lineitem self-join (saves two wide exchanges).
+    //  - One hash(src) shuffle then serves THREE purposes with zero
+    //    further edge exchanges: partition-local (src,dst) dedup
+    //    (hash(src) satisfies the (src,dst) clustering), the
+    //    partition-by-src degree window, and co-location for every
+    //    iteration's rank join.
+    //  - The checkpoint is taken with AQE momentarily disabled:
+    //    AdaptiveSparkPlanExec reports UnknownPartitioning, so an
+    //    AQE-planned localCheckpoint FORGETS the hash(src) layout and
+    //    every later join re-shuffles all edges — the dominant cost of
+    //    the previous version. A non-adaptive eager checkpoint lands a
+    //    LogicalRDD that still advertises hash(src).
+    //  - Rank joins hint shuffle_hash: the statically-sized rank frame
+    //    otherwise plans as a per-round driver collect + broadcast,
+    //    which both serializes each round here and cannot exist at
+    //    billion-node scale. With the hint, both sides are already
+    //    co-partitioned: the ONLY per-iteration exchange is the
+    //    contribution aggregation itself — PageRank's floor.
     "q_pagerank" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-        .distinct()
-        // edges/degrees feed 3 iterations + the final rank: materialize
-        // once instead of re-running the per-order self-join per round.
-        .localCheckpoint()
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).localCheckpoint()
+      val edges = li.groupBy(col("ok")).agg(collect_list(col("pk")).as("pks"))
+        .select(explode(col("pks")).as("src"), col("pks"))
+        .select(col("src"), explode(col("pks")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(col("src"))
+        .groupBy(col("src"), col("dst")).agg(lit(1).as("one"))
+        .select(col("src"), col("dst"))
+        .withColumn("d", count(lit(1)).over(Window.partitionBy(col("src"))))
+      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val ew =
+        try edges.localCheckpoint()
+        finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      // Node frame (src, d): ew is hash(src)-partitioned, so this
+      // aggregate plans with NO exchange; references rescan the
+      // checkpointed RDD, never the edge build.
+      val deg = ew.groupBy(col("src")).agg(max(col("d")).as("d"))
       var pr = deg.select(col("src").as("node"), lit(1.0).as("pr"))
       for (_ <- 1 to 3) {
-        pr = e.join(pr, e("src") === pr("node"))
-          .join(deg, Seq("src"))
+        pr = ew.join(pr.hint("shuffle_hash"), ew("src") === pr("node"))
           .select(col("dst"),
             (col("pr") / col("d")).cast(DecimalType(16, 10)).as("c"))
           .groupBy(col("dst"))
           .agg((lit(0.15) + lit(0.85) * sum(col("c")).cast("double")).as("pr"))
           .select(col("dst").as("node"), col("pr"))
       }
-      pr.join(deg, pr("node") === deg("src"))
+      pr.join(deg.hint("shuffle_hash"), pr("node") === deg("src"))
         .withColumn("rk", row_number().over(
           Window.orderBy(col("pr").desc, col("node"))).cast("long"))
         .filter(col("rk") <= 30)
