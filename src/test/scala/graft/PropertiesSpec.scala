@@ -146,8 +146,13 @@ object PropertiesSpec extends Properties("graft") {
 
   // random graphs: node ids sparse (collision-prone labels), edge lists
   // with duplicates, partitioned adversarially — the shapes that break
-  // distributed connected components
-  private val graphs: Gen[(List[(Long, Long)], Int)] = for {
+  // distributed connected components. `salt` randomizes the partition
+  // KEYING, not just the count: repartition(n, expr) hash-clusters by an
+  // arbitrary salted mix of the endpoints, so edges of one component
+  // land together on some draws and scatter maximally on others —
+  // exercising the cross-partition root-edge path of the two-level
+  // contraction, which a plain round-robin repartition rarely stresses.
+  private val graphs: Gen[(List[(Long, Long)], Int, Int)] = for {
     n <- Gen.chooseNum(2, 60)
     e <- Gen.chooseNum(1, 120)
     edges <- Gen.listOfN(e, for {
@@ -156,13 +161,16 @@ object PropertiesSpec extends Properties("graft") {
       if a != b
     } yield (a.toLong * 13 + 7, b.toLong * 13 + 7))
     parts <- Gen.chooseNum(1, 9)
-  } yield (edges, parts)
+    salt <- Gen.chooseNum(0, 1000)
+  } yield (edges, parts, salt)
 
   property("cluster resolution: component minimum under any partitioning") =
-    forAll(graphs) { case (edges, parts) =>
+    forAll(graphs) { case (edges, parts, salt) =>
       edges.isEmpty || {
         import spark.implicits._
-        val pairs = edges.toDF("a_id", "b_id").repartition(parts)
+        import org.apache.spark.sql.functions.expr
+        val pairs = edges.toDF("a_id", "b_id")
+          .repartition(parts, expr(s"pmod(a_id * $salt + b_id, ${parts * 3 + 1})"))
         val got = operators.Dedup.resolveClusters(pairs)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // in-test union-find oracle
