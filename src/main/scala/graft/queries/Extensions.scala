@@ -394,6 +394,25 @@ object Extensions {
           col("image_meta.height").cast("long").as("h"),
           col("image_meta.format").as("fmt"))
         .orderBy(col("doc_id"))
+    },
+
+    // Full-pixel decode through the real codec: the luminance histogram
+    // of a generated grayscale PNG is exactly the byte histogram of the
+    // text (plus zero-padding to the w×h raster), so the oracle replays
+    // the feature vector from character counts. Float32 divisions of
+    // small exact integers are correctly rounded identically in both
+    // engines; widening to double afterwards preserves the bits.
+    "q_multimodal_features" -> { (s, dir) =>
+      val withPng = Multimodal.attachImagePayload(t(s, dir, "documents"))
+      Multimodal.extractFeatures(withPng, dim = 4,
+          decoder = Multimodal.ImageIoDecoder)
+        .select(
+          col("doc_id"),
+          element_at(col("features"), 1).cast("double").as("f0"),
+          element_at(col("features"), 2).cast("double").as("f1"),
+          element_at(col("features"), 3).cast("double").as("f2"),
+          element_at(col("features"), 4).cast("double").as("f3"))
+        .orderBy(col("doc_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -735,5 +754,28 @@ object Extensions {
         |  GREATEST(1, CAST(CEIL(SQRT(n)) AS BIGINT)) AS w FROM d)
         |SELECT doc_id, w, CAST(GREATEST(1, (n + w - 1) // w) AS BIGINT) AS h,
         |  'png' AS fmt
-        |FROM s ORDER BY doc_id""".stripMargin)
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // The 4-bin luminance histogram of the generated grayscale PNG is
+    // the byte histogram of the text plus zero-padding to the w×h
+    // raster: bin0 = bytes 0x00-0x3f (+ padding), bin1 = 0x40-0x7f;
+    // the ASCII corpus has no bytes >= 0x80, so f2 = f3 = 0 (the hash
+    // gate would catch a corpus that violates this). REAL divisions of
+    // small exact integers round identically in both engines.
+    "q_multimodal_features" ->
+      """WITH d AS (SELECT doc_id, text, STRLEN(text) AS n FROM documents),
+        |s AS (SELECT doc_id, text, n,
+        |  GREATEST(1, CAST(CEIL(SQRT(n)) AS BIGINT)) AS w FROM d),
+        |g AS (SELECT doc_id, text, n, w,
+        |  GREATEST(1, (n + w - 1) // w) AS h FROM s),
+        |c AS (SELECT doc_id, n, w * h AS total,
+        |  STRLEN(REGEXP_REPLACE(text, '[^\x00-\x3f]', '', 'g')) AS c0,
+        |  STRLEN(REGEXP_REPLACE(text, '[^\x40-\x7f]', '', 'g')) AS c1
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(CAST(c0 + (total - n) AS REAL) / CAST(total AS REAL) AS DOUBLE)
+        |    AS f0,
+        |  CAST(CAST(c1 AS REAL) / CAST(total AS REAL) AS DOUBLE) AS f1,
+        |  CAST(0 AS DOUBLE) AS f2,
+        |  CAST(0 AS DOUBLE) AS f3
+        |FROM c ORDER BY doc_id""".stripMargin)
 }
