@@ -88,4 +88,28 @@ class Pipeline6Spec extends AnyFunSuite {
     val again = Pipeline6.queries("q_pagerank")(spark, sf).collect()
     assert(top.map(_.getDouble(3)).toSeq === again.map(_.getDouble(3)).toSeq)
   }
+
+  test("graph queries restore the AQE conf after building their plans") {
+    // q_pagerank / q_bfs_hops toggle spark.sql.adaptive.enabled off
+    // around an eager localCheckpoint (an adaptive plan reports
+    // UnknownPartitioning and would forget the hash(src) layout). The
+    // toggle must never leak into the session — every later query in a
+    // bench run would silently lose AQE.
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    Pipeline6.queries("q_pagerank")(spark, sf)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === before)
+    Pipeline6.queries("q_bfs_hops")(spark, sf)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === before)
+    // checkpointed edges really do carry their partitioning: the rank
+    // join must plan with NO exchange on the edge side (the only
+    // hash(src,*) exchanges allowed are below the checkpoint, which is
+    // a leaf here)
+    val plan = Pipeline6.queries("q_pagerank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val srcExchanges = "Exchange hashpartitioning\\(src#".r
+      .findAllIn(plan).length
+    assert(srcExchanges === 0,
+      s"edge side re-shuffled $srcExchanges times — checkpoint lost its layout:\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
 }
