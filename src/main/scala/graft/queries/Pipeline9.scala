@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.CurveFunctions.hilbert
+import graft.functions.HashFunctions.{md5fast => md5f}
+import Qs._
+
+/** Ninth batch: distributed skyline (Pareto frontier), per-group OLS,
+  * an inverted index with DF pruning, a count-min sketch with exact
+  * error accounting, Welch's t-test, unigram-entropy quality signals,
+  * Hilbert-curve layout values, and a multi-format (ORC + JSON-lines)
+  * sink/source roundtrip.
+  *
+  * Scale design:
+  *  - Skyline avoids the classic N² dominance join: one groupBy collapses
+  *    the data to max-size-per-price, a window over DISTINCT price levels
+  *    (|prices|, not |rows|) computes the running frontier, and the
+  *    verdict joins back as an equi-join. At petabyte scale the distinct
+  *    level frame is what a pre-aggregated cube hands you anyway; the
+  *    oracle cross-checks against the quadratic NOT EXISTS definition.
+  *  - The count-min sketch is the constant-size mergeable shape: the
+  *    d×w counter grid (4×256 here) aggregates with map-side partial
+  *    combine; point queries join candidates against the broadcast grid.
+  *    Unlike Misra–Gries (Pipeline8) it never needs a candidate pass,
+  *    at the cost of one-sided overestimates — which this query measures
+  *    exactly against true counts.
+  *  - The inverted index prunes postings to mid-DF terms before the
+  *    collect_list, so no posting list exceeds the DF cap — the same
+  *    guard the dedup family puts on shingle frequency. Posting lists
+  *    are doc-sorted strings, the layout an IR system would write.
+  *  - Per-group OLS reuses the parity regression's exact-decimal six-sum
+  *    recipe (Regression.scala), pushed through a single partial+final
+  *    aggregation per group — the grouped generalization of A1.
+  *  - Welch's t-test and entropy emit doubles derived ONLY from exact
+  *    decimal/integer sums (Pipeline2 float rules), so both engines
+  *    compute bit-identical IEEE results.
+  *  - The Hilbert value is a codegen'd Catalyst expression
+  *    (functions/SpaceFillingCurve.scala) — constant 8-round integer
+  *    work per row inside WholeStageCodegen; the oracle replays the
+  *    identical rounds as chained SQL CTEs. Hilbert ordering beats
+  *    Z-order (q_zorder) on locality: every curve step moves one cell in
+  *    one dimension, so a layout write clusters both keys with no
+  *    Z-jump discontinuities.
+  *  - The sink roundtrip proves the engine can egress/ingest ORC and
+  *    JSON-lines with schema fidelity (both land in executor-parallel
+  *    files; JSON re-read takes the writer's schema explicitly, never
+  *    inference, matching how a production pipeline pins contracts).
+  */
+object Pipeline9 {
+
+  val queries: Map[String, Q] = Map(
+    // 2-D skyline over part: minimize retail price, maximize size
+    // ("cheapest for at least this size"). A part is on the frontier iff
+    // no other part is <= price AND >= size with one strict. Sort-free
+    // formulation: collapse to max(size) per distinct price, running max
+    // over strictly-lower prices decides dominance.
+    "q_skyline" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val g = p.groupBy(col("p_retailprice"))
+        .agg(max(col("p_size")).as("msize"))
+      val w = Window.orderBy(col("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val fr = g.withColumn("runmax", max(col("msize")).over(w))
+      p.join(fr, Seq("p_retailprice"))
+        // same-price dominance: some point at this price is strictly
+        // bigger; lower-price dominance: a cheaper point is >= my size.
+        .filter(col("p_size") === col("msize") &&
+          (col("runmax").isNull || col("runmax") < col("p_size")))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Per-supplier OLS of discount on quantity: the parity regression
+    // (A1/A2) generalized to grouped form. One partial+final aggregation
+    // computes the six exact-decimal sums per group; slope/intercept/R²
+    // are pure double arithmetic over those sums.
+    "q_grouped_regression" -> { (s, dir) =>
+      val xq = coalesce(col("l_quantity"), lit(0.0)).cast(DecimalType(18, 2))
+      val yq = coalesce(col("l_discount"), lit(0.0)).cast(DecimalType(18, 2))
+      val g = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          count(lit(1)).cast("double").as("n"),
+          sum(xq).cast("double").as("sx"),
+          sum(yq).cast("double").as("sy"),
+          sum(xq * yq).cast("double").as("sxy"),
+          sum(xq * xq).cast("double").as("sxx"),
+          sum(yq * yq).cast("double").as("syy"))
+      val dx = col("n") * col("sxx") - col("sx") * col("sx")
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / dx
+      g.select(
+          col("l_suppkey"), col("n_rows"),
+          when(dx === 0.0, lit(null)).otherwise(slope).as("slope"),
+          when(dx === 0.0, lit(null))
+            .otherwise((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+          when(dx === 0.0 || col("n") * col("syy") - col("sy") * col("sy") === 0.0,
+            lit(null))
+            .otherwise(
+              ((col("n") * col("sxy") - col("sx") * col("sy")) *
+                (col("n") * col("sxy") - col("sx") * col("sy"))) /
+                (dx * (col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("r2"))
+        .orderBy(col("l_suppkey"))
+    },
+
+    // Inverted index over whitespace tokens, pruned to mid-DF terms
+    // (5 <= df <= 400, dropping the stopword-grade tail): term ->
+    // doc-sorted "doc:tf" postings. The DF cap bounds every posting list
+    // BEFORE collect_list materializes it.
+    "q_inverted_index" -> { (s, dir) =>
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("w"))
+        .agg(
+          count(lit(1)).cast("long").as("df"),
+          sum(col("tf")).cast("long").as("cf"),
+          expr("array_join(transform(array_sort(collect_list(struct(doc_id, tf)))," +
+            " p -> concat(cast(p.doc_id as string), ':', cast(p.tf as string))), ',')")
+            .as("postings"))
+        .filter(col("df").between(5, 400))
+        .orderBy(col("w"))
+    },
+
+    // Count-min sketch (d=4 rows × w=256 buckets, md5-derived hashes —
+    // oracle-replayable): the constant-size mergeable frequency sketch.
+    // Estimates min_j grid[j][h_j(w)] for the true top-20 tokens and
+    // reports each overestimate exactly.
+    "q_cms_topk" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val js = explode(array(lit(0), lit(1), lit(2), lit(3))).as("j")
+      def bucket = conv(substring(
+          md5f(concat(col("j").cast("string"), lit("|"), col("w"))), 1, 8), 16, 10)
+        .cast("long") % 256
+      val grid = counts.select(col("w"), col("n"), js)
+        .withColumn("bucket", bucket)
+        .groupBy(col("j"), col("bucket"))
+        .agg(sum(col("n")).cast("long").as("cnt"))
+      val top = counts
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("w"))).cast("long"))
+        .filter(col("rk") <= 20)
+      top.select(col("rk"), col("w"), col("n"), js)
+        .withColumn("bucket", bucket)
+        .join(broadcast(grid), Seq("j", "bucket"))
+        .groupBy(col("rk"), col("w"), col("n"))
+        .agg(min(col("cnt")).as("est"))
+        .select(col("rk"), col("w"), col("n").cast("long").as("n_true"),
+          col("est"), (col("est") - col("n")).cast("long").as("overcount"))
+        .orderBy(col("rk"))
+    },
+
+    // Welch's unequal-variance t-test: click vs purchase event values per
+    // day of month (the synthetic stream spans one month). Means/
+    // variances derive from exact decimal sums; the t statistic and
+    // Welch–Satterthwaite df are then pure IEEE arithmetic, identical in
+    // both engines.
+    "q_ab_ttest" -> { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val vdec = col("value").cast(DecimalType(18, 6))
+      def stats(tp: String, sfx: String) = ev
+        .filter(col("event_type") === tp)
+        .groupBy(dayofmonth(col("ts")).cast("long").as("m"))
+        .agg(
+          count(lit(1)).cast("long").as("n" + sfx),
+          sum(vdec).cast("double").as("sx" + sfx),
+          sum(vdec * vdec).cast("double").as("sxx" + sfx))
+      val j = stats("click", "_a").join(stats("purchase", "_b"), Seq("m"))
+        .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      val na = col("n_a").cast("double")
+      val nb = col("n_b").cast("double")
+      val ma = col("sx_a") / na
+      val mb = col("sx_b") / nb
+      val va = (col("sxx_a") - col("sx_a") * col("sx_a") / na) / (na - 1.0)
+      val vb = (col("sxx_b") - col("sx_b") * col("sx_b") / nb) / (nb - 1.0)
+      val sea = va / na
+      val seb = vb / nb
+      val se = sea + seb
+      j.select(
+          col("m"), col("n_a"), col("n_b"),
+          ma.as("mean_a"), mb.as("mean_b"),
+          ((ma - mb) / sqrt(se)).as("t_stat"),
+          (se * se / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)))
+            .as("welch_df"))
+        .orderBy(col("m"))
+    },
+
+    // Unigram Shannon entropy + type-token ratio per document: the
+    // information-density quality signal (low entropy = repetitive/
+    // boilerplate text). Per-term -p·ln p rounds to DECIMAL(18,10) before
+    // the order-free sum (Pipeline2 float rules).
+    "q_text_entropy" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val nt = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      tf.join(nt, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          (-(col("c") / col("n_tokens")) * log(col("c") / col("n_tokens")))
+            .cast(DecimalType(18, 10)).as("term"))
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(
+          count(lit(1)).cast("long").as("n_distinct"),
+          sum(col("term")).cast("double").as("entropy"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("entropy"),
+          (col("n_distinct") / col("n_tokens")).as("ttr"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Hilbert-curve layout histogram: the locality-preserving sibling of
+    // q_zorder. graft_hilbert is a codegen'd Catalyst expression; rows
+    // close in hval are close in BOTH key dimensions with no Z-jumps,
+    // which is what `repartitionByRange(hval)` + sorted write would use
+    // for two-dimensional data skipping.
+    "q_hilbert" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select((col("l_partkey") % 256).as("hx"), (col("l_suppkey") % 256).as("hy"))
+        .withColumn("hval", hilbert(col("hx"), col("hy")))
+        .groupBy(shiftright(col("hval"), 8).as("h_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("hx")).as("n_x"),
+          countDistinct(col("hy")).as("n_y"),
+          min(col("hval")).as("h_min"),
+          max(col("hval")).as("h_max"))
+        .orderBy(col("h_bucket"))
+    },
+
+    // Multi-format egress/ingress: write documents as ORC and JSON-lines,
+    // read both back, and verify per-source row counts and char sums
+    // agree. Both writers run executor-parallel (one file per partition);
+    // the JSON re-read pins the writer's schema (no inference).
+    "q_sink_roundtrip" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val base = "/tmp/graft_sink_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      docs.write.mode("overwrite").orc(base + "/orc")
+      docs.write.mode("overwrite").json(base + "/json")
+      val orc = s.read.orc(base + "/orc")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_orc"), sum(col("n_chars")).cast("long").as("chars_orc"))
+      val jsn = s.read.schema(docs.schema).json(base + "/json")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_json"), sum(col("n_chars")).cast("long").as("chars_json"))
+      orc.join(jsn, Seq("source")).orderBy(col("source"))
+    })
+
+  /** Chained-CTE replay of HilbertIndex.xy2d: one CTE per curve order,
+    * each applying the quadrant digit + rotation for its bit plane.
+    */
+  private val hilbertSql: String = {
+    val steps = (0 until 8).map { i =>
+      val sBit = 128 >> i
+      val prev = if (i == 0) "hb" else s"h$i"
+      s"""h${i + 1} AS (SELECT hx, hy,
+         |  d + ${sBit * sBit} * (CASE WHEN (x & $sBit) > 0
+         |      THEN (CASE WHEN (y & $sBit) > 0 THEN 2 ELSE 3 END)
+         |      ELSE (CASE WHEN (y & $sBit) > 0 THEN 1 ELSE 0 END) END) AS d,
+         |  CASE WHEN (y & $sBit) > 0 THEN x
+         |       WHEN (x & $sBit) > 0 THEN 255 - y ELSE y END AS x,
+         |  CASE WHEN (y & $sBit) > 0 THEN y
+         |       WHEN (x & $sBit) > 0 THEN 255 - x ELSE x END AS y
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH hb AS (SELECT l_partkey % 256 AS hx, l_suppkey % 256 AS hy,
+       |    l_partkey % 256 AS x, l_suppkey % 256 AS y, CAST(0 AS BIGINT) AS d
+       |  FROM lineitem),
+       |$steps
+       |SELECT CAST(d >> 8 AS BIGINT) AS h_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(COUNT(DISTINCT hx) AS BIGINT) AS n_x,
+       |  CAST(COUNT(DISTINCT hy) AS BIGINT) AS n_y,
+       |  CAST(MIN(d) AS BIGINT) AS h_min, CAST(MAX(d) AS BIGINT) AS h_max
+       |FROM h8 GROUP BY h_bucket ORDER BY h_bucket""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    // The quadratic dominance definition — deliberately a DIFFERENT
+    // formulation than the Spark frontier-scan, so the oracle checks the
+    // semantics, not the plan.
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    "q_grouped_regression" ->
+      """WITH g AS (SELECT l_suppkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(COALESCE(l_quantity, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(COALESCE(l_discount, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(COALESCE(l_quantity, 0.0) AS DECIMAL(18,2)) * CAST(COALESCE(l_discount, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(COALESCE(l_quantity, 0.0) AS DECIMAL(18,2)) * CAST(COALESCE(l_quantity, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(COALESCE(l_discount, 0.0) AS DECIMAL(18,2)) * CAST(COALESCE(l_discount, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, n_rows,
+        |  CASE WHEN (n * sxx - sx * sx) = 0.0 THEN NULL
+        |       ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+        |  CASE WHEN (n * sxx - sx * sx) = 0.0 THEN NULL
+        |       ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END AS intercept,
+        |  CASE WHEN (n * sxx - sx * sx) = 0.0 OR (n * syy - sy * sy) = 0.0 THEN NULL
+        |       ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |            / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
+        |FROM g ORDER BY l_suppkey""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH tf AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents) t
+        |  GROUP BY w, doc_id)
+        |SELECT w, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+        |  STRING_AGG(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY w
+        |HAVING COUNT(*) BETWEEN 5 AND 400
+        |ORDER BY w""".stripMargin,
+
+    "q_cms_topk" ->
+      """WITH counts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents) t
+        |  GROUP BY w),
+        |js AS (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS j),
+        |hashed AS (SELECT w, n, j,
+        |    ('0x' || SUBSTR(MD5(CAST(j AS VARCHAR) || '|' || w), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM counts CROSS JOIN js),
+        |grid AS (SELECT j, bucket, CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM hashed GROUP BY j, bucket),
+        |top AS (SELECT w, n,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rk
+        |  FROM counts QUALIFY rk <= 20)
+        |SELECT t.rk, t.w, t.n AS n_true, MIN(g.cnt) AS est,
+        |  CAST(MIN(g.cnt) - t.n AS BIGINT) AS overcount
+        |FROM top t JOIN hashed h ON h.w = t.w
+        |JOIN grid g ON g.j = h.j AND g.bucket = h.bucket
+        |GROUP BY t.rk, t.w, t.n
+        |ORDER BY t.rk""".stripMargin,
+
+    "q_ab_ttest" ->
+      """WITH a AS (SELECT DAY(ts) AS m, CAST(COUNT(*) AS BIGINT) AS n_a,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx_a,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx_a
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'click' GROUP BY 1),
+        |b AS (SELECT DAY(ts) AS m, CAST(COUNT(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx_b,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx_b
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'purchase' GROUP BY 1)
+        |SELECT m, n_a, n_b,
+        |  sx_a / CAST(n_a AS DOUBLE) AS mean_a,
+        |  sx_b / CAST(n_b AS DOUBLE) AS mean_b,
+        |  (sx_a / CAST(n_a AS DOUBLE) - sx_b / CAST(n_b AS DOUBLE))
+        |    / SQRT(((sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |          + ((sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)) AS t_stat,
+        |  (((sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |    + ((sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))
+        |  * (((sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |    + ((sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))
+        |  / ((((sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE))
+        |       * (((sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+        |     + (((sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))
+        |       * (((sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) AS welch_df
+        |FROM a JOIN b USING (m)
+        |WHERE n_a >= 2 AND n_b >= 2
+        |ORDER BY m""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+        |nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id)
+        |SELECT tf.doc_id, n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CAST(-(c / n_tokens) * LN(c / n_tokens) AS DECIMAL(18,10))) AS DOUBLE) AS entropy,
+        |  CAST(COUNT(*) AS BIGINT) / n_tokens AS ttr
+        |FROM tf JOIN nt USING (doc_id)
+        |GROUP BY tf.doc_id, n_tokens
+        |ORDER BY tf.doc_id""".stripMargin,
+
+    "q_hilbert" -> hilbertSql,
+
+    // The oracle reads the SAME parquet the writers started from — equal
+    // aggregates on both format legs prove the roundtrip lost nothing.
+    "q_sink_roundtrip" ->
+      """WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS ch
+        |  FROM documents GROUP BY source)
+        |SELECT source, n AS n_orc, ch AS chars_orc, n AS n_json, ch AS chars_json
+        |FROM g ORDER BY source""".stripMargin)
+}
