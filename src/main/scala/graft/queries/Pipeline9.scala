@@ -11,8 +11,10 @@ import Qs._
 /** Ninth batch: distributed skyline (Pareto frontier), per-group OLS,
   * an inverted index with DF pruning, a count-min sketch with exact
   * error accounting, Welch's t-test, unigram-entropy quality signals,
-  * Hilbert-curve layout values, and a multi-format (ORC + JSON-lines)
-  * sink/source roundtrip.
+  * Hilbert-curve layout values, a multi-format (ORC + JSON-lines)
+  * sink/source roundtrip, market-basket co-occurrence, exact equi-depth
+  * histograms, hash-seeded differential privacy, Holt double-exponential
+  * smoothing, and deterministic shuffle-sharding for training exports.
   *
   * Scale design:
   *  - Skyline avoids the classic N² dominance join: one groupBy collapses
@@ -234,6 +236,110 @@ object Pipeline9 {
         .orderBy(col("h_bucket"))
     },
 
+    // Market-basket co-occurrence (the item-item projection behind
+    // collaborative filtering): distinct items per order, within-order
+    // pairs, pair support counts, top 50. The pair space is bounded by
+    // per-order item degree (order size, a data constant), never N² —
+    // the same degree-cap argument as the LSH band caps in Dedup.
+    "q_item_cooccur" -> { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("p_a"))
+      val b = items.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("p_b"))
+      a.join(b, col("ok") === col("ok_b") && col("p_a") < col("p_b"))
+        .groupBy(col("p_a"), col("p_b"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_orders").desc, col("p_a"), col("p_b"))).cast("long"))
+        .filter(col("rk") <= 50)
+        .select(col("rk"), col("p_a"), col("p_b"), col("n_orders"))
+        .orderBy(col("rk"))
+    },
+
+    // Exact equi-depth histogram (10 bands) of order totals via NTILE
+    // over a total order. This is the gold-standard band assignment; the
+    // 100 TB path computes boundaries from a quantile sketch and assigns
+    // map-side, and this exact query is what validates that sketch.
+    "q_quantile_bands" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      o.withColumn("band", ntile(10).over(
+          Window.orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+        .groupBy(col("band"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          dsum(col("o_totalprice"), 18, 2).as("total"))
+        .orderBy(col("band"))
+    },
+
+    // Differentially-private release of per-source counts: Laplace(b=1)
+    // noise via the inverse CDF over a hash-seeded uniform. Deterministic
+    // seeding (md5 of the key) is how production DP jobs stay retry-safe
+    // and replayable — and is exactly what lets the oracle reproduce the
+    // noise bit-for-bit. u = (h + 0.5)/2^52 - 0.5 keeps the uniform
+    // strictly inside (-0.5, 0.5), so ln never sees 0.
+    "q_dp_count" -> { (s, dir) =>
+      val g = t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).cast("long").as("n"))
+      val h = conv(substring(
+          md5f(concat(lit("dp|"), col("source"))), 1, 13), 16, 10).cast("long")
+      val u = (h.cast("double") + 0.5) / 4503599627370496.0 - 0.5
+      val noise = (-signum(u) * log(lit(1.0) - lit(2.0) * abs(u)))
+        .cast(DecimalType(18, 10)).cast("double")
+      g.select(col("source"), col("n"), noise.as("noise"),
+          (col("n").cast("double") + noise).as("noisy_n"))
+        .orderBy(col("source"))
+    },
+
+    // Holt double-exponential smoothing (level + trend) over each user's
+    // trailing 16 events: the two coupled recurrences run as one fixed-
+    // order fold with a struct accumulator, seeded (level=oldest, trend=
+    // 0). α = β = 0.5 like q_ewma; identical fold order in both engines
+    // ⇒ bit-identical IEEE results. Frame bounded at 16 ⇒ O(1) state.
+    "q_holt" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-15, 0)
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+        .withColumn("l", collect_list(col("value")).over(w))
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("aggregate(slice(l, 2, size(l) - 1)," +
+            " named_struct('lv', element_at(l, 1), 'tr', 0d)," +
+            " (acc, x) -> named_struct(" +
+            "   'lv', x * 0.5d + (acc.lv + acc.tr) * 0.5d," +
+            "   'tr', (x * 0.5d + (acc.lv + acc.tr) * 0.5d - acc.lv) * 0.5d" +
+            "        + acc.tr * 0.5d)) AS st"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("st.lv").as("level"), col("st.tr").as("trend"),
+          (col("st.lv") + col("st.tr")).as("forecast"))
+        .orderBy(col("event_id"))
+    },
+
+    // Deterministic shuffle + shard for a training-data export: global
+    // order comes from a key hash (reproducible across runs and engines),
+    // shard from the hash prefix. Per-shard stats prove the 8 shards
+    // balance; first/last docs pin the within-shard order. All map-side
+    // except one per-shard window — the export shape at any corpus size.
+    "q_shuffle_shards" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          md5f(concat(lit("shard|"), col("doc_id").cast("string"))).as("hkey"))
+        .withColumn("shard",
+          conv(substring(col("hkey"), 1, 8), 16, 10).cast("long") % 8)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id")))
+          .cast("long"))
+      d.groupBy(col("shard"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("chars"),
+          min_by(col("doc_id"), col("pos")).as("first_doc"),
+          max_by(col("doc_id"), col("pos")).as("last_doc"))
+        .orderBy(col("shard"))
+    },
+
     // Multi-format egress/ingress: write documents as ORC and JSON-lines,
     // read both back, and verify per-source row counts and char sums
     // agree. Both writers run executor-parallel (one file per partition);
@@ -381,6 +487,79 @@ object Pipeline9 {
         |ORDER BY tf.doc_id""".stripMargin,
 
     "q_hilbert" -> hilbertSql,
+
+    "q_item_cooccur" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |g AS (SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT rk, p_a, p_b, n_orders FROM (
+        |  SELECT p_a, p_b, n_orders,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_orders DESC, p_a, p_b) AS BIGINT) AS rk
+        |  FROM g) r
+        |WHERE rk <= 50 ORDER BY rk""".stripMargin,
+
+    "q_quantile_bands" ->
+      """WITH b AS (SELECT o_totalprice,
+        |    CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS band
+        |  FROM orders)
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM b GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_dp_count" ->
+      """WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM documents GROUP BY source),
+        |h AS (SELECT source, n,
+        |    CAST(CAST('0x' || SUBSTR(MD5('dp|' || source), 1, 13) AS BIGINT) AS DOUBLE)
+        |      AS hd
+        |  FROM g),
+        |u AS (SELECT source, n,
+        |    (hd + 0.5) / 4503599627370496.0 - 0.5 AS u FROM h),
+        |z AS (SELECT source, n,
+        |    CAST(CAST(-SIGN(u) * LN(1.0 - 2.0 * ABS(u)) AS DECIMAL(18,10)) AS DOUBLE)
+        |      AS noise
+        |  FROM u)
+        |SELECT source, n, noise, CAST(n AS DOUBLE) + noise AS noisy_n
+        |FROM z ORDER BY source""".stripMargin,
+
+    "q_holt" ->
+      """WITH ev AS (SELECT event_id, user_id, value,
+        |    list(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+        |  FROM events WHERE value IS NOT NULL),
+        |f AS (SELECT event_id, user_id, value,
+        |    -- [level, trend] pair as a 2-list: DuckDB's struct-typed
+        |    -- lambda accumulator miscomputes the second field under
+        |    -- list_reduce (verified against the hand recurrence), the
+        |    -- list-typed accumulator folds correctly
+        |    list_reduce(
+        |      list_transform(l, v -> [v, CAST(0.0 AS DOUBLE)]),
+        |      (acc, x) -> [x[1] * 0.5 + (acc[1] + acc[2]) * 0.5,
+        |                   (x[1] * 0.5 + (acc[1] + acc[2]) * 0.5 - acc[1]) * 0.5
+        |                    + acc[2] * 0.5]) AS st
+        |  FROM ev)
+        |SELECT event_id, user_id, value, st[1] AS level, st[2] AS trend,
+        |  st[1] + st[2] AS forecast
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q_shuffle_shards" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    MD5('shard|' || doc_id) AS hkey FROM documents),
+        |sh AS (SELECT doc_id, n_chars, hkey,
+        |    ('0x' || SUBSTR(hkey, 1, 8))::BIGINT % 8 AS shard FROM d),
+        |p AS (SELECT doc_id, n_chars, shard,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS BIGINT)
+        |      AS pos
+        |  FROM sh)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  MIN_BY(doc_id, pos) AS first_doc, MAX_BY(doc_id, pos) AS last_doc
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
     // The oracle reads the SAME parquet the writers started from — equal
     // aggregates on both format legs prove the roundtrip lost nothing.
