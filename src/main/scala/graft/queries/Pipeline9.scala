@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.CurveFunctions.hilbert
 import graft.functions.HashFunctions.{md5fast => md5f}
+import graft.operators.Dedup
 import Qs._
 
 /** Ninth batch: distributed skyline (Pareto frontier), per-group OLS,
@@ -340,6 +341,56 @@ object Pipeline9 {
         .orderBy(col("shard"))
     },
 
+    // Connected components on the co-purchase graph (support >= 3):
+    // Dedup.resolveClusters — the two-level union-find contraction built
+    // for near-dup clustering — applied unchanged to a second domain.
+    // Same scale story: per-partition imperative union-find, cross-level
+    // edges shrink geometrically, job count independent of component
+    // diameter. The oracle recomputes components via a recursive CTE.
+    "q_graph_cc" -> { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("a_id"))
+      val b = items.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("b_id"))
+      val pairs = a.join(b, col("ok") === col("ok_b") && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .select(col("a_id"), col("b_id"))
+      Dedup.resolveClusters(pairs)
+        .select(col("doc_id").as("part_key"), col("keep_id").as("component"))
+        .orderBy(col("part_key"))
+    },
+
+    // Mergeable quantile estimation via bottom-k-by-hash sampling
+    // (k = 512 per group): the k smallest md5 keys are a uniform sample
+    // that merges associatively across partitions (keep the k smallest
+    // of any union) — the bounded-memory path to percentiles at 100 TB.
+    // Estimated p50/p90 sit next to the exact values so the error is
+    // visible in the result itself; both sides are deterministic, so the
+    // oracle replays sample AND truth bit-for-bit.
+    "q_quantile_sketch" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          md5f(concat(lit("qs|"), col("l_orderkey").cast("string"),
+            lit("|"), col("l_linenumber").cast("string"))).as("hk"))
+      val samp = li
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("hk"))).cast("long"))
+        .filter(col("rn") <= 512)
+      val est = samp.groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_extendedprice, 0.5)").as("est_p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("est_p90"))
+      val tru = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast("long").as("n"),
+        expr("percentile(l_extendedprice, 0.5)").as("true_p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("true_p90"))
+      tru.join(est, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"),
+          col("est_p50"), col("true_p50"), col("est_p90"), col("true_p90"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Multi-format egress/ingress: write documents as ORC and JSON-lines,
     // read both back, and verify per-source row counts and char sums
     // agree. Both writers run executor-parallel (one file per partition);
@@ -487,6 +538,42 @@ object Pipeline9 {
         |ORDER BY tf.doc_id""".stripMargin,
 
     "q_hilbert" -> hilbertSql,
+
+    "q_graph_cc" ->
+      """WITH RECURSIVE
+        |items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |g AS (SELECT a.l_partkey AS a_id, b.l_partkey AS b_id, COUNT(*) AS n
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM g WHERE n >= 3),
+        |sym AS (SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a AS src, b AS dst FROM sym
+        |  UNION SELECT a AS src, a AS dst FROM sym
+        |  UNION SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a)
+        |SELECT src AS part_key, MIN(dst) AS component
+        |FROM reach GROUP BY src ORDER BY part_key""".stripMargin,
+
+    "q_quantile_sketch" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice,
+        |    MD5('qs|' || l_orderkey || '|' || l_linenumber) AS hk FROM lineitem),
+        |samp AS (SELECT l_returnflag, l_extendedprice FROM (
+        |    SELECT l_returnflag, l_extendedprice,
+        |      ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hk) AS rn
+        |    FROM li) r WHERE rn <= 512),
+        |est AS (SELECT l_returnflag,
+        |    QUANTILE_CONT(l_extendedprice, 0.5) AS est_p50,
+        |    QUANTILE_CONT(l_extendedprice, 0.9) AS est_p90
+        |  FROM samp GROUP BY 1),
+        |tru AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    QUANTILE_CONT(l_extendedprice, 0.5) AS true_p50,
+        |    QUANTILE_CONT(l_extendedprice, 0.9) AS true_p90
+        |  FROM lineitem GROUP BY 1)
+        |SELECT t.l_returnflag, n, est_p50, true_p50, est_p90, true_p90
+        |FROM tru t JOIN est e USING (l_returnflag)
+        |ORDER BY t.l_returnflag""".stripMargin,
 
     "q_item_cooccur" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
