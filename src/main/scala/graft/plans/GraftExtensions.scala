@@ -18,12 +18,18 @@ import graft.functions.{DotProduct, Md5Fast}
   *    built-in `md5` to [[graft.functions.Md5Fast]] (identical output,
   *    no per-row MessageDigest provider lookup) — SQL users get the fast
   *    path without code changes;
+  *  - optimizer rule [[RangeBinRule]]: rewrites bare non-equi range
+  *    joins (`lo <= p AND p < hi`) into the binned equi-join shape when
+  *    `spark.graft.rangeJoin.binWidth` is set — plain SQL gets the
+  *    scale-safe plan the manual `RangeJoin.pointInInterval` operator
+  *    produces;
   *  - SQL function registration: `graft_md5`, `graft_dot` become callable
   *    from `spark.sql(...)`, not just the Scala DSL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FastHashRule)
+    ext.injectOptimizerRule(_ => RangeBinRule)
     ext.injectPlannerStrategy(_ => AsofStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_md5"),

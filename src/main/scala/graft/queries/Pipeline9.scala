@@ -341,6 +341,36 @@ object Pipeline9 {
         .orderBy(col("shard"))
     },
 
+    // The plans/RangeBinRule optimizer path: the SAME purchases-in-first-
+    // 15-minutes join as q_range_join, but written as a PLAIN non-equi
+    // join — no manual binning call. With the binWidth conf set, the
+    // injected rule rewrites it to the binned equi-join during
+    // optimization; the oracle is identical to q_range_join's, proving
+    // the transparent rewrite changes the plan and nothing else.
+    "q_range_join_auto" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val points = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+      val intervals = ev.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("start_us"))
+        .select(col("user_id"), col("start_us"),
+          (col("start_us") + lit(15L * 60 * 1000000)).as("end_us"))
+      val before = s.conf.get(graft.plans.RangeBinRule.WidthConf, "0")
+      s.conf.set(graft.plans.RangeBinRule.WidthConf, (15L * 60 * 1000000).toString)
+      try {
+        val out = points.join(intervals,
+            col("start_us") <= col("p_us") && col("p_us") < col("end_us"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases_in_window"))
+          .orderBy(col("user_id"))
+        // optimization runs at ACTION time, after this lambda returns
+        // and the conf is restored — force (and memoize) the optimized
+        // plan NOW so the rewrite is locked into this QueryExecution
+        out.queryExecution.optimizedPlan
+        out
+      } finally s.conf.set(graft.plans.RangeBinRule.WidthConf, before)
+    },
+
     // Connected components on the co-purchase graph (support >= 3):
     // Dedup.resolveClusters — the two-level union-find contraction built
     // for near-dup clustering — applied unchanged to a second domain.
@@ -538,6 +568,18 @@ object Pipeline9 {
         |ORDER BY tf.doc_id""".stripMargin,
 
     "q_hilbert" -> hilbertSql,
+
+    // Same oracle text as q_range_join: the optimizer rewrite must be
+    // invisible to results.
+    "q_range_join_auto" ->
+      """WITH p AS (SELECT event_id, epoch_us(ts) AS p_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |iv AS (SELECT user_id, MIN(epoch_us(ts)) AS start_us,
+        |    MIN(epoch_us(ts)) + 900000000 AS end_us
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, COUNT(*) AS n_purchases_in_window
+        |FROM p JOIN iv ON start_us <= p_us AND p_us < end_us
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_graph_cc" ->
       """WITH RECURSIVE

@@ -244,6 +244,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
 
+  test("q_range_join_auto: the optimizer rule bins the plain non-equi join") {
+    // Written as a bare lo <= p AND p < hi join — the plan is equi only
+    // because plans/RangeBinRule rewrote it during optimization.
+    val p = plan("q_range_join_auto")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("__graft_p_bucket"),
+      s"expected the RangeBinRule bucket column in the plan:\n$p")
+  }
+
   test("q_sample_weighted: per-block cumsum windows are partitioned") {
     val p = plan("q_sample_weighted")
     // The within-block window must be keyed (parallel); only the tiny
