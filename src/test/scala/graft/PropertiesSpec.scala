@@ -252,4 +252,36 @@ object PropertiesSpec extends Properties("graft") {
         got == want
       }
     }
+
+  private val rangeJoinCase: Gen[(List[Long], List[(Long, Long)], Long)] = for {
+    nP <- Gen.chooseNum(1, 40)
+    ps <- Gen.listOfN(nP, Gen.chooseNum(-200L, 200L))
+    nI <- Gen.chooseNum(1, 15)
+    ivs <- Gen.listOfN(nI, for {
+      lo <- Gen.chooseNum(-200L, 200L)
+      span <- Gen.chooseNum(-20L, 120L) // negative spans exercise the guard
+    } yield (lo, lo + span))
+    w <- Gen.chooseNum(1L, 97L) // include widths that don't divide anything
+  } yield (ps, ivs, w)
+
+  property("RangeBinRule: binned join ≡ naive join for any data and width") =
+    forAll(rangeJoinCase) { case (ps, ivs, w) =>
+      import spark.implicits._
+      val points = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("p_id", "p")
+      val intervals = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iv_id", "lo", "hi")
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("p_id", "iv_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val q = points.join(intervals,
+        intervals("lo") <= points("p") && points("p") < intervals("hi"))
+      val naive = pairs(q)
+      spark.conf.set(graft.plans.RangeBinRule.WidthConf, w.toString)
+      val binned =
+        try pairs(points.join(intervals,
+          intervals("lo") <= points("p") && points("p") < intervals("hi")))
+        finally spark.conf.set(graft.plans.RangeBinRule.WidthConf, "0")
+      binned == naive
+    }
 }

@@ -102,4 +102,38 @@ class RangeBinRuleSpec extends AnyFunSuite {
     val plan = joined.queryExecution.optimizedPlan.toString
     assert(!plan.contains("__graft_p_bucket"), plan)
   }
+
+  test("stream-static range joins get the same rewrite per micro-batch") {
+    // IncrementalExecution re-optimizes every micro-batch with the
+    // session's optimizer, so the injected rule upgrades streaming
+    // non-equi enrichment joins too — no streaming-specific code.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withWidth(16L) {
+      val in = MemoryStream[Long]
+      in.addData(-25L, 3L, 7L, 55L, 150L, 199L)
+      val pts = in.toDF.select($"value".as("p"))
+      val q = pts.join(intervals, $"lo" <= $"p" && $"p" < $"hi")
+        .select($"p", $"iv_id")
+        .writeStream.format("memory").queryName("range_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("range_stream").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = Set((-25L, 2L), (3L, 1L), (7L, 1L), (3L, 5L),
+          (55L, 7L) /* not: id7 is [199,300) */, (150L, 6L), (199L, 7L))
+          .filter { case (p, iv) =>
+            val (lo, hi) = Map(1L -> (0L, 10L), 2L -> (-30L, -20L),
+              5L -> (-5L, 7L), 6L -> (100L, 160L), 7L -> (199L, 300L))(iv)
+            lo <= p && p < hi
+          }
+        assert(got == want, s"got=$got want=$want")
+        // and the rewrite actually fired inside the micro-batch plan
+        val lastPlan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+          .streamingQuery.lastExecution.executedPlan.toString
+        assert(lastPlan.contains("__graft_p_bucket"), lastPlan)
+      } finally q.stop()
+    }
+  }
 }
