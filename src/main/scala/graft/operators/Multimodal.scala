@@ -280,4 +280,83 @@ object Multimodal {
     val parts = math.max(1, (totalBytes / (targetMb.toLong * 1024 * 1024)).toInt)
     df.repartition(parts)
   }
+
+  // ---- audio modality -----------------------------------------------
+
+  val audioFeatureType: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("peak", LongType),
+    StructField("rms", DoubleType),
+    StructField("zero_crossings", LongType)))
+
+  /** PCM16LE audio payload synth: a sawtooth wave whose length and
+    * frequency derive from `doc_id`, so the payload is genuine
+    * little-endian 16-bit PCM (the [[audioFeatures]] parser exercises a
+    * real byte-level codec path) while every decoded sample keeps the
+    * closed form `((i·f) mod 256 − 128)·256` a SQL oracle can replay
+    * from the id alone. Sawtooth, not sine: the synth stays in exact
+    * integer arithmetic, so both engines agree bit-for-bit.
+    */
+  def attachAudioPayload(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = docs.schema.add("audio", BinaryType)
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(idIdx)
+        val n = 512 + (id % 5).toInt * 128
+        val f = 1 + (id % 7).toInt
+        val bytes = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = (((i * f) % 256) - 128) * 256
+          bytes(2 * i) = (v & 0xff).toByte
+          bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        Row.fromSeq(row.toSeq :+ bytes)
+      }
+    }(encoder)
+  }
+
+  /** Audio feature extraction over PCM16LE payloads: one imperative
+    * byte-parse pass per row (per-partition batch shape like the image
+    * decoder), emitting the classic signal stats — sample count, peak
+    * amplitude, RMS, zero-crossing count. RMS is the only float and is
+    * `sqrt(exact-long-sum / n)`: IEEE sqrt is correctly rounded, so the
+    * value is bit-identical across engines. Odd-length or null payloads
+    * quarantine to a null struct like the image stages.
+    */
+  def audioFeatures(df: DataFrame, payloadCol: String = "audio"): DataFrame = {
+    val schema = df.schema.add("audio_features", audioFeatureType)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](pIdx)
+        val feats: Row =
+          if (bytes == null || bytes.length % 2 != 0 || bytes.length == 0) null
+          else {
+            val n = bytes.length / 2
+            var i = 0
+            var sumSq = 0L
+            var peak = 0L
+            var zc = 0L
+            var prevNeg = false
+            while (i < n) {
+              val v = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+              val a = math.abs(v.toLong)
+              if (a > peak) peak = a
+              sumSq += v.toLong * v
+              val neg = v < 0
+              if (i > 0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              i += 1
+            }
+            Row(n.toLong, peak, math.sqrt(sumSq.toDouble / n), zc)
+          }
+        Row.fromSeq(row.toSeq :+ feats)
+      }
+    }(encoder)
+  }
 }

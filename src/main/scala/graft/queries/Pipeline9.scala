@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.CurveFunctions.hilbert
 import graft.functions.HashFunctions.{md5fast => md5f}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Multimodal}
 import Qs._
 
 /** Ninth batch: distributed skyline (Pareto frontier), per-group OLS,
@@ -341,6 +341,25 @@ object Pipeline9 {
         .orderBy(col("shard"))
     },
 
+    // Audio modality end-to-end: synthesize genuine PCM16LE payloads
+    // (sawtooth; length/frequency closed-form in doc_id), parse the raw
+    // bytes back in a per-partition batch pass, and emit signal stats —
+    // peak, RMS, zero crossings. The byte round-trip exercises real
+    // binary-column plumbing; the oracle replays every sample from the
+    // closed form. RMS is sqrt(exact-int-sum / n) — IEEE sqrt is
+    // correctly rounded, so even the float matches bit-for-bit.
+    "q_audio_features" -> { (s, dir) =>
+      val a = Multimodal.attachAudioPayload(
+        t(s, dir, "documents").select(col("doc_id")))
+      Multimodal.audioFeatures(a)
+        .select(col("doc_id"),
+          col("audio_features.n_samples").as("n_samples"),
+          col("audio_features.peak").as("peak"),
+          col("audio_features.rms").as("rms"),
+          col("audio_features.zero_crossings").as("zero_crossings"))
+        .orderBy(col("doc_id"))
+    },
+
     // The plans/RangeBinRule optimizer path: the SAME purchases-in-first-
     // 15-minutes join as q_range_join, but written as a PLAIN non-equi
     // join — no manual binning call. With the binWidth conf set, the
@@ -568,6 +587,20 @@ object Pipeline9 {
         |ORDER BY tf.doc_id""".stripMargin,
 
     "q_hilbert" -> hilbertSql,
+
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id, 512 + (doc_id % 5) * 128 AS n,
+        |    1 + doc_id % 7 AS f FROM documents),
+        |s AS (SELECT doc_id, n, i, ((i * f) % 256 - 128) * 256 AS v
+        |  FROM d, UNNEST(GENERATE_SERIES(0, CAST(n - 1 AS BIGINT))) AS t(i)),
+        |w AS (SELECT doc_id, n, i, v,
+        |    LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+        |SELECT doc_id, n AS n_samples,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+        |  SQRT(SUM(v * v) / n) AS rms,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM w GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     // Same oracle text as q_range_join: the optimizer rewrite must be
     // invisible to results.

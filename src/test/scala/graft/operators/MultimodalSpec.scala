@@ -134,4 +134,34 @@ class MultimodalSpec extends AnyFunSuite {
       .rdd.getNumPartitions
     assert(parts >= 1) // 1MB total < 1MB target → 1 partition; shape check
   }
+
+  test("audio payload synth round-trips: parsed samples match the closed form") {
+    val df = Multimodal.audioFeatures(Multimodal.attachAudioPayload(
+      Seq(0L, 3L, 11L, 34L).toDF("doc_id")))
+    df.select("doc_id", "audio_features.*").collect().foreach { r =>
+      val id = r.getLong(0)
+      val n = 512 + (id % 5).toInt * 128
+      val f = 1 + (id % 7).toInt
+      val samples = (0 until n).map(i => (((i * f) % 256) - 128) * 256)
+      assert(r.getLong(1) == n.toLong, s"n_samples for doc $id")
+      assert(r.getLong(2) == samples.map(v => math.abs(v.toLong)).max,
+        s"peak for doc $id")
+      val sumSq = samples.map(v => v.toLong * v).sum
+      assert(r.getDouble(3) == math.sqrt(sumSq.toDouble / n), s"rms for doc $id")
+      val zc = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(r.getLong(4) == zc.toLong, s"zero crossings for doc $id")
+    }
+  }
+
+  test("odd-length and null audio payloads quarantine to a null struct") {
+    val df = Seq(
+      (1L, Array[Byte](1, 2, 3)),      // odd byte count: not PCM16
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array[Byte](0, 1, 0, -1)))  // valid 2-sample payload
+      .toDF("doc_id", "audio")
+    val out = Multimodal.audioFeatures(df)
+      .select($"doc_id", $"audio_features").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) && out(2L) && !out(3L))
+  }
 }
