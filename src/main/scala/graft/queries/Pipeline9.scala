@@ -419,13 +419,19 @@ object Pipeline9 {
     // visible in the result itself; both sides are deterministic, so the
     // oracle replays sample AND truth bit-for-bit.
     "q_quantile_sketch" -> { (s, dir) =>
+      // 60-bit numeric hash prefix, not the 32-char hex string: the
+      // bottom-k selection sorts every input partition, and long
+      // comparisons cut that sort's cost ~2× vs string md5 keys
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"),
-          md5f(concat(lit("qs|"), col("l_orderkey").cast("string"),
-            lit("|"), col("l_linenumber").cast("string"))).as("hk"))
+          col("l_orderkey"), col("l_linenumber"),
+          conv(substring(md5f(concat(lit("qs|"), col("l_orderkey").cast("string"),
+            lit("|"), col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("hk"))
       val samp = li
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("l_returnflag")).orderBy(col("hk"))).cast("long"))
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("hk"), col("l_orderkey"), col("l_linenumber"))).cast("long"))
         .filter(col("rn") <= 512)
       val est = samp.groupBy(col("l_returnflag")).agg(
         expr("percentile(l_extendedprice, 0.5)").as("est_p50"),
@@ -632,11 +638,13 @@ object Pipeline9 {
         |FROM reach GROUP BY src ORDER BY part_key""".stripMargin,
 
     "q_quantile_sketch" ->
-      """WITH li AS (SELECT l_returnflag, l_extendedprice,
-        |    MD5('qs|' || l_orderkey || '|' || l_linenumber) AS hk FROM lineitem),
+      """WITH li AS (SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+        |    ('0x' || SUBSTR(MD5('qs|' || l_orderkey || '|' || l_linenumber), 1, 15))::BIGINT
+        |      AS hk FROM lineitem),
         |samp AS (SELECT l_returnflag, l_extendedprice FROM (
         |    SELECT l_returnflag, l_extendedprice,
-        |      ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hk) AS rn
+        |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |        ORDER BY hk, l_orderkey, l_linenumber) AS rn
         |    FROM li) r WHERE rn <= 512),
         |est AS (SELECT l_returnflag,
         |    QUANTILE_CONT(l_extendedprice, 0.5) AS est_p50,
