@@ -341,6 +341,29 @@ object Pipeline9 {
         .orderBy(col("shard"))
     },
 
+    // Key-skew diagnostics — the report you run BEFORE picking a join
+    // strategy at 100 TB: per key column, the key-count distribution's
+    // cardinality, max, p50/p99, the heaviest key's row share, and the
+    // max/median skew ratio that decides between plain shuffle, AQE skew
+    // splitting, and salting (operators/SkewJoin).
+    "q_skew_report" -> { (s, dir) =>
+      def prof(df: org.apache.spark.sql.DataFrame, c: String) = df
+        .groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).cast("long").as("n_keys"),
+          sum(col("n")).cast("long").as("n_rows"),
+          max(col("n")).cast("long").as("max_key_rows"),
+          expr("percentile(n, 0.5)").as("p50_key_rows"),
+          expr("percentile(n, 0.99)").as("p99_key_rows"))
+        .select(lit(c).as("key_col"), col("n_keys"), col("n_rows"),
+          col("max_key_rows"), col("p50_key_rows"), col("p99_key_rows"),
+          (col("max_key_rows") / col("n_rows")).as("top1_share"),
+          (col("max_key_rows") / col("p50_key_rows")).as("skew_ratio"))
+      prof(t(s, dir, "orders"), "o_custkey")
+        .union(prof(t(s, dir, "lineitem"), "l_suppkey"))
+        .orderBy(col("key_col"))
+    },
+
     // Audio modality end-to-end: synthesize genuine PCM16LE payloads
     // (sawtooth; length/frequency closed-form in doc_id), parse the raw
     // bytes back in a per-partition batch pass, and emit signal stats —
@@ -593,6 +616,27 @@ object Pipeline9 {
         |ORDER BY tf.doc_id""".stripMargin,
 
     "q_hilbert" -> hilbertSql,
+
+    "q_skew_report" ->
+      """WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+        |pa AS (SELECT 'o_custkey' AS key_col,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(MAX(n) AS BIGINT) AS max_key_rows,
+        |    QUANTILE_CONT(n, 0.5) AS p50_key_rows,
+        |    QUANTILE_CONT(n, 0.99) AS p99_key_rows
+        |  FROM a),
+        |b AS (SELECT l_suppkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |pb AS (SELECT 'l_suppkey' AS key_col,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(MAX(n) AS BIGINT) AS max_key_rows,
+        |    QUANTILE_CONT(n, 0.5) AS p50_key_rows,
+        |    QUANTILE_CONT(n, 0.99) AS p99_key_rows
+        |  FROM b)
+        |SELECT key_col, n_keys, n_rows, max_key_rows, p50_key_rows, p99_key_rows,
+        |  max_key_rows / n_rows AS top1_share,
+        |  max_key_rows / p50_key_rows AS skew_ratio
+        |FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb) u
+        |ORDER BY key_col""".stripMargin,
 
     "q_audio_features" ->
       """WITH d AS (SELECT doc_id, 512 + (doc_id % 5) * 128 AS n,

@@ -475,4 +475,58 @@ object Streams {
           (shard, buf.keysIterator.toSeq.sorted)
       }
   }
+
+  final case class TickEvent(
+      key: Long, ts: java.sql.Timestamp, kind: String, value: Double)
+  final case class AsofMatch(
+      key: Long, trade_ts: java.sql.Timestamp, trade_value: Double,
+      quote_ts: Option[Long], quote_value: Option[Double])
+
+  /** Streaming as-of join (the kdb quote/trade shape) over ONE
+    * union-tagged input: `kind = "quote"` rows buffer per key, `kind =
+    * "trade"` rows emit joined to the latest quote with `quote_ts <=
+    * trade_ts` and `trade_ts − quote_ts <= toleranceMs`. Spark's built-in
+    * stream-stream joins cannot express "latest preceding", so this is
+    * the custom-state tier: per-key state is the quote buffer pruned to
+    * the tolerance horizon behind the newest timestamp seen — bounded by
+    * quote rate × tolerance, independent of stream length. Within a
+    * micro-batch, slices sort by (ts, kind): "quote" < "trade"
+    * lexicographically, so a quote stamped exactly at a trade's
+    * timestamp is visible to it (inclusive as-of, matching the batch
+    * operator's backward default). Out-of-order rows across batches are
+    * honored up to the tolerance — the same lateness contract a
+    * watermark gives the built-in joins.
+    */
+  def asofStream(ticks: Dataset[TickEvent], toleranceMs: Long)
+      : Dataset[AsofMatch] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[List[(Long, Double)], AsofMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[TickEvent],
+            state: GroupState[List[(Long, Double)]]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.kind))
+          var quotes = state.getOption.getOrElse(Nil) // ascending quote ts
+          var horizon = quotes.lastOption.map(_._1).getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[AsofMatch]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            horizon = math.max(horizon, t)
+            if (e.kind == "quote") {
+              // cross-batch late quotes may arrive out of order: insert
+              // in place rather than append
+              val (before, after) = quotes.partition(_._1 <= t)
+              quotes = before ::: ((t, e.value) :: after)
+            } else {
+              val m = quotes.takeWhile(_._1 <= t).lastOption
+                .filter(q => t - q._1 <= toleranceMs)
+              out += AsofMatch(key, e.ts, e.value, m.map(_._1), m.map(_._2))
+            }
+          }
+          quotes = quotes.dropWhile(_._1 < horizon - toleranceMs)
+          if (quotes.isEmpty) state.remove() else state.update(quotes)
+          out.result().iterator
+      }
+  }
 }

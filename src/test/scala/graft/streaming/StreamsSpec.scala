@@ -437,4 +437,41 @@ class StreamsSpec extends AnyFunSuite {
       assert(pairs === Set((2L, 1L), (5L, 4L)))
     } finally q.stop()
   }
+
+  test("streaming as-of join matches trades to the latest preceding quote") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tick(key: Long, ms: Long, kind: String, v: Double) =
+      Streams.TickEvent(key, new java.sql.Timestamp(ms), kind, v)
+    val in = MemoryStream[Streams.TickEvent]
+    val q = Streams.asofStream(in.toDS(), toleranceMs = 100L)
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: quotes before/at/after; a trade before any quote
+      in.addData(
+        tick(1, 10, "quote", 1.0), tick(1, 50, "quote", 2.0),
+        tick(1, 50, "trade", 100.0),  // equal-ts quote IS visible
+        tick(1, 5, "trade", 99.0),    // precedes every quote -> no match
+        tick(2, 40, "quote", 7.0))
+      q.processAllAvailable()
+      // batch 2: cross-batch match, tolerance miss, key isolation
+      in.addData(
+        tick(1, 120, "trade", 101.0),  // matches (50, 2.0), within 100ms
+        tick(1, 170, "trade", 102.0),  // 170-50 > 100 -> no match
+        tick(2, 60, "trade", 200.0))   // key 2 sees only its own quote
+      q.processAllAvailable()
+      val got = spark.table("asof_stream")
+        .select("key", "trade_value", "quote_ts", "quote_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      assert(got === Set(
+        (1L, 100.0, Some(50L), Some(2.0)),
+        (1L, 99.0, None, None),
+        (1L, 101.0, Some(50L), Some(2.0)),
+        (1L, 102.0, None, None),
+        (2L, 200.0, Some(40L), Some(7.0))))
+    } finally q.stop()
+  }
 }
