@@ -341,6 +341,38 @@ object Pipeline9 {
         .orderBy(col("shard"))
     },
 
+    // Data-quality expectations (the dbt-test / Great-Expectations
+    // shape): each check is one aggregate predicate over a table —
+    // uniqueness, null rate, referential integrity, value domain — and
+    // the suite unions into a single (check, n_bad, pass) report. Every
+    // check is a partial+final aggregate or a broadcast/shuffle anti
+    // join; nothing scans twice, nothing collects.
+    "q_expectations" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      def check(name: String, nBad: org.apache.spark.sql.DataFrame) = nBad
+        .select(lit(name).as("check"), col("n_bad"),
+          (col("n_bad") === 0L).as("pass"))
+      val uniq = check("orders.o_orderkey unique",
+        o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_bad")))
+      val nn = check("orders.o_custkey not_null",
+        o.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_bad")))
+      val fk = check("lineitem.l_orderkey references orders",
+        li.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_bad")))
+      val dom = check("lineitem.l_discount in [0,1]",
+        li.agg(sum(when(col("l_discount").isNotNull &&
+            (col("l_discount") < 0.0 || col("l_discount") > 1.0), 1L)
+          .otherwise(0L)).cast("long").as("n_bad")))
+      val pos = check("lineitem.l_quantity positive",
+        li.agg(sum(when(col("l_quantity").isNotNull && col("l_quantity") <= 0.0, 1L)
+          .otherwise(0L)).cast("long").as("n_bad")))
+      uniq.union(nn).union(fk).union(dom).union(pos).orderBy(col("check"))
+    },
+
     // Key-skew diagnostics — the report you run BEFORE picking a join
     // strategy at 100 TB: per key column, the key-count distribution's
     // cardinality, max, p50/p99, the heaviest key's row share, and the
@@ -616,6 +648,35 @@ object Pipeline9 {
         |ORDER BY tf.doc_id""".stripMargin,
 
     "q_hilbert" -> hilbertSql,
+
+    "q_expectations" ->
+      """SELECT * FROM (
+        |  SELECT 'orders.o_orderkey unique' AS check,
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_bad,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) = 0 AS pass FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey not_null',
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey references orders',
+        |    CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_discount in [0,1]',
+        |    CAST(SUM(CASE WHEN l_discount IS NOT NULL
+        |      AND (l_discount < 0.0 OR l_discount > 1.0) THEN 1 ELSE 0 END) AS BIGINT),
+        |    SUM(CASE WHEN l_discount IS NOT NULL
+        |      AND (l_discount < 0.0 OR l_discount > 1.0) THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_quantity positive',
+        |    CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_quantity <= 0.0
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    SUM(CASE WHEN l_quantity IS NOT NULL AND l_quantity <= 0.0
+        |      THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem) u
+        |ORDER BY "check"""".stripMargin,
 
     "q_skew_report" ->
       """WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
