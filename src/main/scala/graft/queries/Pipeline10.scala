@@ -83,11 +83,12 @@ object Pipeline10 {
     */
   private[queries] def bpeMerge(words: DataFrame, best: DataFrame): DataFrame =
     words.crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
-      .select(col("n"), expr(
+      .withColumn("toks", expr(
         """aggregate(slice(toks, 2, size(toks) - 1), array(toks[0]),
           |  (acc, t) -> IF(element_at(acc, -1) = ma AND t = mb,
           |    concat(slice(acc, 1, size(acc) - 1), array(concat(ma, mb))),
-          |    concat(acc, array(t))))""".stripMargin).as("toks"))
+          |    concat(acc, array(t))))""".stripMargin))
+      .drop("ma", "mb")
 
   val queries: Map[String, Q] = Map(
     // Byte-pair-encoding merge learning, 3 rounds: the tokenizer-training
