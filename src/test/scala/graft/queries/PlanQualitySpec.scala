@@ -297,6 +297,32 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("batch 10-12 additions: equi-joins and bounded broadcasts only") {
+    // BPE learning/encoding cross-joins 1-row argmax frames — every BNLJ
+    // must classify bounded (or scalar), never real.
+    for (q <- Seq("q_bpe_learn", "q_bpe_encode", "q_bpe_doc_tokens")) {
+      val cls = bnljClasses(q)
+      assert(!cls.contains(ExplainAudit.RealBnlj), s"$q: $cls")
+    }
+    // Wedge join + anti-join adjacency screen must stay hash-based.
+    val cn = plan("q_common_neighbors")
+    assert(!cn.contains("BroadcastNestedLoopJoin") && !cn.contains("CartesianProduct"), cn)
+    assert(cn.contains("LeftAnti"), "adjacency exclusion must be an anti join\n" + cn)
+    // Per-dimension quantization stats broadcast back into the value stream.
+    val sq = plan("q_embed_sq8")
+    assert(sq.contains("BroadcastHashJoin"), sq)
+    // Contrastive sampling: label-pair frame broadcasts; no nested loop
+    // reaches the corpus side.
+    val cp = plan("q_contrastive_pairs")
+    assert(!cp.contains("CartesianProduct"), cp)
+    assert(bnljClasses("q_contrastive_pairs")
+      .forall(_ != ExplainAudit.RealBnlj), "label-pair join must stay bounded")
+    // Weighted median: pre-aggregation is two-phase, windows are keyed.
+    val wm = plan("q_weighted_median")
+    assert(wm.split("HashAggregate").length >= 3, wm)
+    assert(wm.contains("Window"), wm)
+  }
+
   test("a genuinely unbounded nested loop still classifies real") {
     import org.apache.spark.sql.functions._
     val a = graft.Tables(spark, dir, "orders").select(col("o_orderkey"))
