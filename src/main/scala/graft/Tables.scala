@@ -29,7 +29,12 @@ object Tables {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .select(raw.columns.map(col).toSeq: _*)
+    // Rebuild only when the file really is TIMESTAMP(NANOS) (surfacing as
+    // long under the legacy conf); an events file written with a standard
+    // timestamp column — e.g. a re-export of our own results — loads as-is.
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .select(raw.columns.map(col).toSeq: _*)
+    else raw
   }
 }
