@@ -130,7 +130,11 @@ object Pipeline14 {
       // span stream never materializes twice), per-hash doc counts via a
       // window over h (|rows per h| = distinct docs holding it), then one
       // per-doc aggregation. Three shuffles total; only hashes move.
-      val sph = docs.filter(length(col("text")) >= 40)
+      // The documents parquet reads as one split; the ~26× span explode
+      // and per-span md5 are embarrassingly parallel, so fan out first.
+      val sph = docs.repartition(
+          s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .filter(length(col("text")) >= 40)
         .select(col("doc_id"),
           explode(sequence(lit(1), length(col("text")) - 39, lit(20))).as("pos"),
           col("text"))
