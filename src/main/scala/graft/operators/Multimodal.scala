@@ -158,7 +158,11 @@ object Multimodal {
     val schema = docs.schema.add("payload", BinaryType)
     val textIdx = docs.schema.fieldIndex(textCol)
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    docs.mapPartitions { it =>
+    // Codec work must never inherit the scan's partitioning: a small
+    // parquet file reads as ONE split, and per-row PNG encode is orders
+    // of magnitude heavier than the row shuffle that spreads it. Fan out
+    // to the session's shuffle width before the imperative pass.
+    fanOut(docs).mapPartitions { it =>
       it.map { row =>
         val text = row.getString(textIdx)
         val png: Array[Byte] =
@@ -270,6 +274,15 @@ object Multimodal {
       expr(s"transform(sequence(0, CAST(greatest(length($payloadCol) - 1, 0) AS INT) DIV ($everyN * $frameBytes)), " +
         s"i -> substring($payloadCol, i * $everyN * $frameBytes + 1, $frameBytes))"))
 
+  /** Round-robin fan-out to the session's shuffle width — the pre-codec
+    * balancing move. Skipped when the input is already at least that wide
+    * (no gratuitous shuffle on an already-parallel pipeline).
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Bytes-aware repartitioning: target ~`targetMb` of payload per
     * partition so a real decoder's memory stays bounded regardless of row
     * width skew.
@@ -301,7 +314,7 @@ object Multimodal {
     val schema = docs.schema.add("audio", BinaryType)
     val idIdx = docs.schema.fieldIndex(idCol)
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    docs.mapPartitions { it =>
+    fanOut(docs).mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(idIdx)
         val n = 512 + (id % 5).toInt * 128

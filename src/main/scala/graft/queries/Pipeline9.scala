@@ -477,7 +477,11 @@ object Pipeline9 {
       // 60-bit numeric hash prefix, not the 32-char hex string: the
       // bottom-k selection sorts every input partition, and long
       // comparisons cut that sort's cost ~2× vs string md5 keys
+      // Fan out before hashing: the table reads as one split, and 600k
+      // md5s on one core would dominate the query (the shuffle that
+      // spreads them is narrow rows, ~free by comparison).
       val li = t(s, dir, "lineitem")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"),
           conv(substring(md5f(concat(lit("qs|"), col("l_orderkey").cast("string"),
