@@ -32,9 +32,20 @@ object Tables {
     // Rebuild only when the file really is TIMESTAMP(NANOS) (surfacing as
     // long under the legacy conf); an events file written with a standard
     // timestamp column — e.g. a re-export of our own results — loads as-is.
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        .select(raw.columns.map(col).toSeq: _*)
-    else raw
+    // Loader contract: `ts` is always TIMESTAMP (with local time zone),
+    // whatever the file's physical representation. NANOS surfaces as long
+    // under the legacy conf and is rebuilt; TIMESTAMP_NTZ (e.g. a
+    // re-export of our own results) is cast instant-preserving — the
+    // session is pinned UTC — so downstream `unix_micros(ts)` arithmetic
+    // always resolves.
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(raw.columns.map(col).toSeq: _*)
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .select(raw.columns.map(col).toSeq: _*)
+    }
   }
 }
