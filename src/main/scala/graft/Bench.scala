@@ -92,6 +92,13 @@ object Bench {
     // without a re-run.
     val slowest = results.collect { case (n, Some(v)) => n -> v }
       .sortBy(-_._2).take(10)
+    // Failures FIRST and unmissable: the stored tail may truncate the JSON
+    // head, so the failure list and totals must survive on stderr
+    // regardless of truncation.
+    System.err.println(s"[bench] RESULT total=${results.size} ok=${results.size - failed.size} failed=${failed.size}")
+    System.err.println(s"[bench] RESULT failed_queries=$failedJson")
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] *** INCOMPLETE RUN: ${failed.size} queries FAILED: ${failed.mkString(", ")} ***")
     System.err.println("[bench] top-10 slowest:")
     slowest.foreach { case (n, v) => System.err.println(f"[bench]   $n $v%.2fs") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"complete":${failed.isEmpty},"sf":"$sfDir"}""")

@@ -193,7 +193,14 @@ object Pipeline6 {
     "q_pagerank" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.groupBy(col("ok")).agg(collect_list(col("pk")).as("pks"))
+      val edges = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+        // collect_set, not collect_list: the pair explosion is quadratic
+        // per order, and duplicate parts within an order multiply it for
+        // zero information (pairs are deduped downstream anyway). A
+        // degree-cap guard for 100x line-count skew — TPC-H orders have
+        // <=7 lines; a pathological 10k-line order would emit 1e8 pairs.
+        .withColumn("pks", when(size(col("pks")) <= 1000, col("pks"))
+          .otherwise(slice(sort_array(col("pks")), 1, 1000)))
         .select(explode(col("pks")).as("src"), col("pks"))
         .select(col("src"), explode(col("pks")).as("dst"))
         .filter(col("src") =!= col("dst"))
@@ -241,35 +248,52 @@ object Pipeline6 {
     "q_bfs_hops" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edgePlan = li.groupBy(col("ok")).agg(collect_list(col("pk")).as("pks"))
+      val edgePlan = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+        // collect_set, not collect_list: the pair explosion is quadratic
+        // per order, and duplicate parts within an order multiply it for
+        // zero information (pairs are deduped downstream anyway). A
+        // degree-cap guard for 100x line-count skew — TPC-H orders have
+        // <=7 lines; a pathological 10k-line order would emit 1e8 pairs.
+        .withColumn("pks", when(size(col("pks")) <= 1000, col("pks"))
+          .otherwise(slice(sort_array(col("pks")), 1, 1000)))
         .select(explode(col("pks")).as("src"), col("pks"))
         .select(col("src"), explode(col("pks")).as("dst"))
         .filter(col("src") =!= col("dst"))
         .repartition(col("src"))
         .groupBy(col("src"), col("dst")).agg(lit(1).as("one"))
         .select(col("src"), col("dst"))
+      // AQE off for every checkpoint in the build (edges AND frontier
+      // levels): an AQE-planned localCheckpoint forgets its hash layout
+      // (UnknownPartitioning), forcing re-shuffles downstream.
       val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
       s.conf.set("spark.sql.adaptive.enabled", "false")
-      val edges =
-        try edgePlan.localCheckpoint()
-        finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      // Frontier levels carry no visited-set subtraction: the level
-      // subtrees stay IDENTICAL between the union member and the next
-      // level's parent, so exchange reuse computes each level once. (An
-      // anti-join "expand only new nodes" variant was measured 2.7×
-      // slower here: the visited chain makes every level's subtree
-      // unique, defeating reuse and re-evaluating earlier levels.)
-      var frontier = edges.select(col("src").as("node"))
-        .where(col("node") < 100).distinct()
-        .withColumn("hop", lit(0L))
-      val levels = scala.collection.mutable.ArrayBuffer(frontier)
-      for (h <- 1 to 3) {
-        frontier = edges
-          .join(frontier.hint("shuffle_hash"), edges("src") === frontier("node"))
-          .select(col("dst").as("node")).distinct()
-          .withColumn("hop", lit(h.toLong))
-        levels += frontier
-      }
+      val levels =
+        try {
+          val edges = edgePlan.localCheckpoint()
+          // Frontier levels carry no visited-set subtraction: a node can
+          // re-enter at a later hop and the final min(hop) picks its true
+          // distance. Each level is localCheckpoint-ed: level h is then
+          // computed exactly ONCE — the union and level h+1's parent both
+          // read the materialized RDD — instead of leaning on exchange
+          // reuse through a 4-way union, and each per-level join is a
+          // tiny materialized frontier against the co-partitioned edge
+          // frame. (An anti-join "expand only new nodes" variant was
+          // measured 2.7× slower here: the visited chain re-evaluates
+          // earlier levels.)
+          var frontier = edges.select(col("src").as("node"))
+            .where(col("node") < 100).distinct()
+            .withColumn("hop", lit(0L)).localCheckpoint()
+          val acc = scala.collection.mutable.ArrayBuffer(frontier)
+          for (h <- 1 to 3) {
+            frontier = edges
+              .join(frontier.hint("shuffle_hash"), edges("src") === frontier("node"))
+              .select(col("dst").as("node")).distinct()
+              .withColumn("hop", lit(h.toLong))
+            if (h < 3) frontier = frontier.localCheckpoint()
+            acc += frontier
+          }
+          acc.toSeq
+        } finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       levels.reduce(_ union _)
         .groupBy(col("node").as("part_key"))
         .agg(min(col("hop")).as("hop"))
