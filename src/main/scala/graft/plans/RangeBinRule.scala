@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan, LessThanOrEqual, Literal, Pmod, Sequence, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, LessThan, LessThanOrEqual, Literal, Remainder, Sequence, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -89,13 +89,21 @@ object RangeBinRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Exact floor division for longs of either sign: (a − pmod(a, w)) is
-    * the largest multiple of w ≤ a, so the integral divide is exact.
-    * (A plain `div` truncates toward zero and mis-buckets negatives.)
+  /** Exact floor division for longs of either sign, overflow-safe across
+    * the whole long domain: truncating `div` then decrement when the
+    * remainder is negative (a plain `div` truncates toward zero and
+    * mis-buckets negatives). The previous `(a − pmod(a, w)) div w` form
+    * underflowed for a within w of Long.MinValue — pmod ≥ 0 pushes the
+    * subtraction past the domain edge (ANSI: ARITHMETIC_OVERFLOW;
+    * non-ANSI: silent wrap → the point lands in a far-away bucket and
+    * the row is LOST). Here the decrement only happens when rem < 0,
+    * which requires w ≥ 2, so q ≥ MinValue/2 and q − 1 cannot overflow.
     */
   private def floorDiv(a: Expression, w: Long): Expression = {
     val wl = Literal(w, LongType)
-    IntegralDivide(Subtract(a, Pmod(a, wl)), wl)
+    val q = IntegralDivide(a, wl)
+    If(LessThan(Remainder(a, wl), Literal(0L, LongType)),
+      Subtract(q, Literal(1L, LongType)), q)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
