@@ -123,7 +123,7 @@ object Pipeline10 {
           sum(col("obs")).over(Window.partitionBy(col("segment"))))
         .withColumn("col_total",
           sum(col("obs")).over(Window.partitionBy(col("priority"))))
-        .withColumn("grand", sum(col("obs")).over(Window.partitionBy()))
+        .crossJoin(broadcast(cells.agg(sum(col("obs")).cast("long").as("grand"))))
         .withColumn("expected",
           (col("row_total") * col("col_total")).cast("double") /
             col("grand").cast("double"))
@@ -144,19 +144,25 @@ object Pipeline10 {
         .agg(count(lit(1)).cast("long").as("cnt"))
       val tot = daily.agg(sum(col("cnt")).cast("long").as("s"),
         count(lit(1)).cast("long").as("n"))
-      val wd = Window.orderBy(col("day"))
-      val withLeads = daily.crossJoin(broadcast(tot))
-        .withColumn("dev", col("n") * col("cnt") - col("s"))
-        .select(col("dev") +: (1 to 5).map(k =>
-          lead(col("dev"), k).over(wd).as(s"l$k")): _*)
-      val den = withLeads.agg(sum(col("dev") * col("dev")).cast("long").as("den"))
-      withLeads
-        .select(col("dev"), explode(array((1 to 5).map(k =>
-          struct(lit(k).cast("long").as("lag"), col(s"l$k").as("ldev"))): _*)).as("p"))
-        .filter(col("p.ldev").isNotNull)
-        .groupBy(col("p.lag").as("lag"))
+      // lead(dev, k) re-expressed as an equi-join on the day's dense
+      // global rank (two-phase OrderStats): row at rank r pairs with
+      // rank r+k. The lag table fans each row to its 5 lags; missing
+      // partners drop in the inner join — exactly lead()'s null filter.
+      import s.implicits._
+      val ranked = graft.operators.OrderStats.running(
+        daily.crossJoin(broadcast(tot))
+          .withColumn("dev", col("n") * col("cnt") - col("s")),
+        Seq(col("day")), Some("rn"))
+      val den = ranked.agg(sum(col("dev") * col("dev")).cast("long").as("den"))
+      val lags = Seq(1L, 2L, 3L, 4L, 5L).toDF("lag")
+      ranked.select(col("dev"), col("rn"))
+        .crossJoin(broadcast(lags))
+        .join(broadcast(ranked.select(col("rn").as("rn2"),
+          col("dev").as("ldev"))),
+          col("rn2") === col("rn") + col("lag"))
+        .groupBy(col("lag"))
         .agg(count(lit(1)).cast("long").as("n_pairs"),
-          sum(col("dev") * col("p.ldev")).cast("long").as("num"))
+          sum(col("dev") * col("ldev")).cast("long").as("num"))
         .crossJoin(broadcast(den))
         .select(col("lag"), col("n_pairs"),
           (col("num").cast("double") / col("den").cast("double")).as("acf"))

@@ -144,10 +144,11 @@ object Pipeline11 {
           Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id")))
           .cast("long"))
         .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
-      val global = docs
-        .select(col("n_chars").as("norm_chars"))
-        .withColumn("gr", row_number().over(
-          Window.orderBy(col("norm_chars"))).cast("long"))
+      // Global value ladder via the range-partitioned two-phase rank
+      // (ties interchangeable: the join consumes only norm_chars).
+      val global = graft.operators.OrderStats.running(
+        docs.select(col("n_chars").as("norm_chars")),
+        Seq(col("norm_chars")), Some("gr"))
       val n = global.agg(count(lit(1)).cast("long").as("nn"))
       ranked.crossJoin(broadcast(n))
         .withColumn("idx",

@@ -50,8 +50,10 @@ object Pipeline13 {
         .groupBy(col("o_custkey"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long"))
           .cast("long").as("cents"))
-      val ranked = rev.withColumn("i", row_number().over(
-        Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+      // Global rank over every customer — two-phase range-partitioned
+      // numbering (OrderStats), not a single-partition window.
+      val ranked = graft.operators.OrderStats.running(
+        rev, Seq(col("cents"), col("o_custkey")), Some("i"))
       val n = ranked.agg(count(lit(1)).cast("long").as("n"),
         sum(col("cents")).cast("long").as("total_cents"))
       ranked.crossJoin(broadcast(n))

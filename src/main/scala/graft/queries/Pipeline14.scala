@@ -42,11 +42,13 @@ object Pipeline14 {
         .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("cents"))
       val tot = daily.agg(sum(col("cents")).cast("long").as("sc"),
         count(lit(1)).cast("long").as("n"))
-      val wd = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cs = daily.crossJoin(broadcast(tot))
-        .withColumn("cusum", sum(col("n") * col("cents") - col("sc")).over(wd)
-          .cast("long"))
+      // Running CUSUM via the range-partitioned two-phase prefix sum:
+      // the day frame is calendar-bounded, but the shape should still be
+      // the one that survives any span (no single-partition window).
+      val cs = graft.operators.OrderStats.running(
+        daily.crossJoin(broadcast(tot))
+          .withColumn("dev", col("n") * col("cents") - col("sc")),
+        Seq(col("day")), None, Seq("dev" -> "cusum"))
       val peak = cs.agg(max(abs(col("cusum"))).cast("long").as("peak"))
       cs.crossJoin(broadcast(peak))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
@@ -99,14 +101,22 @@ object Pipeline14 {
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long")
           .as("cents"))
-      val wd = Window.orderBy(col("day"))
-      val w7 = wd.rowsBetween(-6, Window.currentRow)
-      daily.withColumn("x", row_number().over(wd).cast("long"))
-        .withColumn("nw", count(lit(1)).over(w7).cast("long"))
-        .withColumn("sx", sum(col("x")).over(w7).cast("long"))
-        .withColumn("sy", sum(col("cents")).over(w7).cast("long"))
-        .withColumn("sxy", sum(col("x") * col("cents")).over(w7).cast("long"))
-        .withColumn("sxx", sum(col("x") * col("x")).over(w7).cast("long"))
+      // x = the day's dense global rank (two-phase OrderStats), and the
+      // 7-row sliding sums become a bounded broadcast range self-join on
+      // rank (b.x ∈ [a.x−6, a.x] = the previous 6 rows + current, since
+      // ranks are consecutive) — no single-partition sliding window.
+      val ranked = graft.operators.OrderStats.running(
+        daily, Seq(col("day")), Some("x"))
+      val a = ranked.select(col("day"), col("cents"), col("x"))
+      val b = broadcast(ranked.select(col("x").as("bx"),
+        col("cents").as("bcents")))
+      a.join(b, col("bx").between(col("x") - 6, col("x")))
+        .groupBy(col("day"), col("cents"))
+        .agg(count(lit(1)).cast("long").as("nw"),
+          sum(col("bx")).cast("long").as("sx"),
+          sum(col("bcents")).cast("long").as("sy"),
+          sum(col("bx") * col("bcents")).cast("long").as("sxy"),
+          sum(col("bx") * col("bx")).cast("long").as("sxx"))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
           col("cents"), col("nw"),
           when(col("nw") * col("sxx") - col("sx") * col("sx") =!= 0,
@@ -184,13 +194,12 @@ object Pipeline14 {
         .select(explode(split(col("text"), " ")).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).cast("long").as("n"))
       val tot = vocab.agg(sum(col("n")).cast("long").as("tot"))
-      val wr = Window.orderBy(col("n").desc, col("term"))
-      vocab
-        .withColumn("rank", row_number().over(wr).cast("long"))
-        .withColumn("cum_n", sum(col("n")).over(
-          wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long"))
-        .filter(col("rank") <= 30)
+      // Top-30 terms AND their cumulative share in one bounded
+      // TakeOrdered + sequential pass: the cumulative sum over the Zipf
+      // head only needs the head, never a full-vocabulary window.
+      graft.operators.OrderStats.topK(
+          vocab, Seq(col("n").desc, col("term")), 30, "rank",
+          Seq("n" -> "cum_n"))
         .crossJoin(broadcast(tot))
         .select(col("rank"), col("term"), col("n"), col("cum_n"),
           (col("cum_n").cast("double") / col("tot").cast("double")).as("share"))

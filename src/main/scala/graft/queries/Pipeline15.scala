@@ -138,13 +138,15 @@ object Pipeline15 {
           sum(col("w3")).cast("long").as("wn3"),
           sum(col("w4") * col("cents")).cast("long").as("wc4"),
           sum(col("w4")).cast("long").as("wn4"))
-      val means = (1 to 4).map(j =>
+      // Order statistics of the 64 replicate means via bounded
+      // TakeOrdered + sequential rank (B is a constant; no window).
+      val means = graft.operators.OrderStats.topK(
+        (1 to 4).map(j =>
           perBlk.select((col("blk") * 4 + (j - 1)).cast("long").as("rep"),
             (col(s"wc$j").cast("double") / col(s"wn$j").cast("double"))
               .as("m")))
-        .reduce(_ unionAll _)
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("m"), col("rep"))).cast("long"))
+        .reduce(_ unionAll _),
+        Seq(col("m"), col("rep")), 64, "rk")
       val full = o.agg(count(lit(1)).cast("long").as("n_orders"),
         (sum(col("cents")).cast("double") / count(lit(1))).as("mean_cents"))
       full.crossJoin(broadcast(

@@ -102,9 +102,10 @@ object Pipeline16 {
           Window.partitionBy(col("h") % 32)
             .orderBy(col("h"), col("l_partkey"))))
         .filter(col("rb") <= 512)
-      val sampled = pruned.withColumn("rg", row_number().over(
-          Window.orderBy(col("h"), col("l_partkey"))))
-        .filter(col("rg") <= 512)
+      // Global bottom-512 over the ≤512×32 bucket survivors via bounded
+      // TakeOrdered + sequential rank (no unpartitioned window).
+      val sampled = graft.operators.OrderStats.topK(
+        pruned, Seq(col("h"), col("l_partkey")), 512, "rg")
       val est = sampled.agg(sum(col("ck") * col("ck")).cast("long")
           .as("samp_sq"),
         count(lit(1)).cast("long").as("k"))

@@ -51,8 +51,13 @@ object Pipeline17 {
       val lo = lit("1997-01-01").cast("timestamp")
       val hi = lit("1997-02-01").cast("timestamp")
       def layout(name: String, orderCols: Seq[String]) = {
-        val zoned = li.withColumn("rn", row_number().over(
-            Window.orderBy(orderCols.map(col): _*)).cast("long") - 1)
+        // Global row position via the range-partitioned two-phase rank
+        // (OrderStats.running), not a single-partition window — this is
+        // a full-table numbering, exactly the shape that dies at scale
+        // under Window.orderBy with no partition spec.
+        val zoned = graft.operators.OrderStats
+          .running(li, orderCols.map(col), Some("rn1"))
+          .withColumn("rn", col("rn1") - 1)
           .withColumn("zone", expr(s"rn DIV $ZoneRows"))
         zoned.groupBy(col("zone"))
           .agg(min(col("l_shipdate")).as("z_min"),
@@ -187,10 +192,14 @@ object Pipeline17 {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
           when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("label"))
-      val ranked = o.withColumn("r", row_number().over(
-          Window.orderBy(col("o_totalprice"), col("o_orderkey")))
-          .cast("long") - 1)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      // Global score rank via the range-partitioned two-phase numbering;
+      // the total count rides in as a broadcast 1-row aggregate instead
+      // of an unpartitioned whole-frame window.
+      val nrow = broadcast(o.agg(count(lit(1)).cast("long").as("n")))
+      val ranked = graft.operators.OrderStats.running(
+          o, Seq(col("o_totalprice"), col("o_orderkey")), Some("r1"))
+        .withColumn("r", col("r1") - 1)
+        .crossJoin(nrow)
         .withColumn("bin", expr("r * 10 DIV n"))
       ranked.groupBy(col("bin"))
         .agg(count(lit(1)).cast("long").as("n_bin"),

@@ -40,11 +40,11 @@ object Pipeline18 {
       val per = o.groupBy(col("v"))
         .agg(sum(col("g")).cast("long").as("a1"),
           sum(lit(1L) - col("g")).cast("long").as("a2"))
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = per
-        .withColumn("c1", sum(col("a1")).over(w))
-        .withColumn("c2", sum(col("a2")).over(w))
+      // Both empirical CDFs in ONE two-phase range-partitioned pass
+      // (OrderStats) — distinct-value cardinality scales with the data,
+      // so no single-partition window.
+      val cum = graft.operators.OrderStats.running(
+        per, Seq(col("v")), None, Seq("a1" -> "c1", "a2" -> "c2"))
       val ns = per.agg(sum(col("a1")).cast("long").as("n1"),
         sum(col("a2")).cast("long").as("n2"))
       cum.crossJoin(broadcast(ns))
@@ -73,9 +73,11 @@ object Pipeline18 {
       val per = o.groupBy(col("v"))
         .agg(count(lit(1)).cast("long").as("cnt"),
           sum(col("pos")).cast("long").as("npos"))
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = per.withColumn("cum", sum(col("cnt")).over(w))
+      // Running count over every distinct score — cardinality scales
+      // with the data, so the cumulative sum goes through the two-phase
+      // range-partitioned OrderStats, not a single-partition window.
+      val ranked = graft.operators.OrderStats.running(
+        per, Seq(col("v")), None, Seq("cnt" -> "cum"))
         // min rank = cum-cnt+1, max rank = cum; their sum is 2× the
         // tie-averaged rank shared by every row at this value.
         .withColumn("r2_contrib",
@@ -109,16 +111,16 @@ object Pipeline18 {
         .agg(count(lit(1)).cast("long").as("cnt"),
           sum(col("observed")).cast("long").as("deaths"))
       // at-risk at d = everyone whose lifetime >= d: a reversed
-      // cumulative count over the per-day frame.
-      val wDesc = Window.orderBy(col("d").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAsc = Window.orderBy(col("d"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      per.withColumn("n_risk", sum(col("cnt")).over(wDesc))
-        .filter(col("deaths") > 0)
-        .withColumn("hazard_micro",
-          expr("deaths * 1000000000000L DIV n_risk"))
-        .withColumn("cum_hazard_micro", sum(col("hazard_micro")).over(wAsc))
+      // cumulative count; both directions via the range-partitioned
+      // two-phase prefix sums (no single-partition windows).
+      val atRisk = graft.operators.OrderStats.running(
+        per, Seq(col("d").desc), None, Seq("cnt" -> "n_risk"))
+      graft.operators.OrderStats.running(
+          atRisk
+            .filter(col("deaths") > 0)
+            .withColumn("hazard_micro",
+              expr("deaths * 1000000000000L DIV n_risk")),
+          Seq(col("d")), None, Seq("hazard_micro" -> "cum_hazard_micro"))
         .select(col("d").as("d_days"), col("deaths"), col("n_risk"),
           col("hazard_micro"),
           (col("cum_hazard_micro").cast("double") / lit(1e12))
@@ -138,12 +140,16 @@ object Pipeline18 {
           .cast("long").as("cents"))
       val tot = daily.agg(count(lit(1)).cast("long").as("n_days"),
         sum(col("cents")).cast("long").as("total"))
-      val wAsc = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val series = daily.crossJoin(broadcast(tot))
-        .withColumn("v",
-          sum(col("cents") * col("n_days") - col("total")).over(wAsc))
-        .withColumn("peak", max(col("v")).over(wAsc))
+      // Two-phase prefix pass #1: running detrended sum v; pass #2:
+      // running max of v (exclusive, folded inclusive via greatest) —
+      // both range-partitioned, no single-partition windows.
+      val cum = graft.operators.OrderStats.running(
+        daily.crossJoin(broadcast(tot))
+          .withColumn("dev", col("cents") * col("n_days") - col("total")),
+        Seq(col("day")), None, Seq("dev" -> "v"))
+      val series = graft.operators.OrderStats.running(
+          cum, Seq(col("day")), None, Nil, Seq("v" -> "pm"))
+        .withColumn("peak", greatest(coalesce(col("pm"), col("v")), col("v")))
         .withColumn("dd", col("peak") - col("v"))
       series.agg(max(col("n_days")).as("n_days"),
           max(col("dd")).as("dd_scaled"))

@@ -95,9 +95,10 @@ object Pipeline2 {
         .join(nsq, Seq("doc_id"))
         .withColumn("cos", col("dot").cast("double") /
           (sqrt(lit(3.0)) * sqrt(col("nsq").cast("double"))))
-      reranked
-        .withColumn("rerank_rk", row_number().over(
-          Window.partitionBy().orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      // Rank the 20-candidate set with the same bounded topK path (input
+      // is already ≤ 20 rows; no unpartitioned window).
+      graft.operators.OrderStats.topK(
+          reranked, Seq(col("cos").desc, col("doc_id")), 20, "rerank_rk")
         .select(col("rerank_rk"), col("bm25_rk"), col("doc_id"),
           col("dot"), col("nsq"), col("cos"))
         .orderBy(col("rerank_rk"))
@@ -136,10 +137,11 @@ object Pipeline2 {
           sum(when(col("term") === "stream", col("tf"))).as("tf_stream"))
         .withColumn("s", coalesce(col("s1"), lit(0.0)) +
           coalesce(col("s2"), lit(0.0)) + coalesce(col("s3"), lit(0.0)))
-      scored
-        .withColumn("rk", row_number().over(
-          Window.partitionBy().orderBy(col("s").desc, col("doc_id"))).cast("long"))
-        .filter(col("rk") <= 20)
+      // Top-20 via TakeOrderedAndProject + bounded sequential rank
+      // (OrderStats.topK): per-partition top-k then a 20-row merge —
+      // never a full-corpus single-partition window sort.
+      graft.operators.OrderStats.topK(
+        scored, Seq(col("s").desc, col("doc_id")), 20, "rk")
   }
 
   private lazy val moreQueries: Map[String, Q] = Map(
@@ -231,12 +233,15 @@ object Pipeline2 {
     // Token-length histogram: fixed-width (10-word) buckets with exact
     // shares — corpus shape at a glance, two-phase agg + one tiny window.
     "q_token_histogram" -> { (s, dir) =>
-      t(s, dir, "documents")
+      val hist = t(s, dir, "documents")
         .select(expr("CAST(size(split(text, ' ')) DIV 10 AS BIGINT) * 10")
           .as("bucket_lo"))
         .groupBy(col("bucket_lo")).agg(count(lit(1)).as("n_docs"))
-        .withColumn("share",
-          col("n_docs").cast("double") / sum(col("n_docs")).over(Window.partitionBy()))
+      // grand total as a broadcast 1-row aggregate, not a whole-frame
+      // window (which would move every bucket to one partition)
+      hist.crossJoin(broadcast(hist.agg(sum(col("n_docs")).as("tot"))))
+        .withColumn("share", col("n_docs").cast("double") / col("tot"))
+        .select(col("bucket_lo"), col("n_docs"), col("share"))
         .orderBy(col("bucket_lo"))
     },
 

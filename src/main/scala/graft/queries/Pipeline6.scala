@@ -110,10 +110,11 @@ object Pipeline6 {
       // the exact integer counts behind the score.
       val pmi = log(col("n_xy").cast("double") * col("nb") /
         (col("n_x") * col("n_y")))
-      scored
-        .withColumn("rk", row_number().over(
-          Window.orderBy(pmi.desc, col("w1"), col("w2"))).cast("long"))
-        .filter(col("rk") <= 40)
+      // Top-40 via bounded TakeOrdered + sequential rank, not a global
+      // single-partition window over every surviving bigram.
+      graft.operators.OrderStats.topK(
+          scored.withColumn("pmi_ord", pmi),
+          Seq(col("pmi_ord").desc, col("w1"), col("w2")), 40, "rk")
         .select(col("rk"), col("w1"), col("w2"), col("n_xy"),
           col("n_x"), col("n_y"))
         .orderBy(col("rk"))
@@ -138,11 +139,10 @@ object Pipeline6 {
           sum(col("surp")).as("s"),
           count(lit(1)).as("n_tokens"),
           sum(when(col("n") < 10, 1L).otherwise(0L)).as("n_rare"))
-      sc.withColumn("rk", row_number().over(
-          Window.orderBy(
-            (col("s").cast("double") / col("n_tokens")).desc, col("doc_id")))
-          .cast("long"))
-        .filter(col("rk") <= 30)
+      // Top-30 via bounded TakeOrdered + sequential rank.
+      graft.operators.OrderStats.topK(
+          sc.withColumn("surp_ord", col("s").cast("double") / col("n_tokens")),
+          Seq(col("surp_ord").desc, col("doc_id")), 30, "rk")
         .select(col("rk"), col("doc_id"), col("n_tokens"), col("n_rare"))
         .orderBy(col("rk"))
     },
@@ -226,10 +226,11 @@ object Pipeline6 {
           .agg((lit(0.15) + lit(0.85) * sum(col("c")).cast("double")).as("pr"))
           .select(col("dst").as("node"), col("pr"))
       }
-      pr.join(deg.hint("shuffle_hash"), pr("node") === deg("src"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("pr").desc, col("node"))).cast("long"))
-        .filter(col("rk") <= 30)
+      // Top-30 nodes via bounded TakeOrdered + sequential rank — no
+      // single-partition window over the full node set.
+      graft.operators.OrderStats.topK(
+          pr.join(deg.hint("shuffle_hash"), pr("node") === deg("src")),
+          Seq(col("pr").desc, col("node")), 30, "rk")
         .select(col("rk"), col("node").as("part_key"),
           col("d").as("degree"), col("pr"))
         .orderBy(col("rk"))

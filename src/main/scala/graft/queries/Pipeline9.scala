@@ -64,10 +64,14 @@ object Pipeline9 {
       val p = t(s, dir, "part")
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
       val g = p.groupBy(col("p_retailprice"))
-        .agg(max(col("p_size")).as("msize"))
-      val w = Window.orderBy(col("p_retailprice"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val fr = g.withColumn("runmax", max(col("msize")).over(w))
+        .agg(max(col("p_size")).cast("long").as("msize"))
+      // Running max over strictly-lower prices (one row per distinct
+      // price, so "preceding rows" = "strictly cheaper") via the
+      // two-phase range-partitioned OrderStats exclusive max — distinct
+      // prices scale with the part table, no single-partition window.
+      val fr = graft.operators.OrderStats.running(
+        g, Seq(col("p_retailprice")), None, Nil,
+        Seq("msize" -> "runmax"))
       p.join(fr, Seq("p_retailprice"))
         // same-price dominance: some point at this price is strictly
         // bigger; lower-price dominance: a cheaper point is >= my size.
@@ -147,10 +151,9 @@ object Pipeline9 {
         .withColumn("bucket", bucket)
         .groupBy(col("j"), col("bucket"))
         .agg(sum(col("n")).cast("long").as("cnt"))
-      val top = counts
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("n").desc, col("w"))).cast("long"))
-        .filter(col("rk") <= 20)
+      // True top-20 tokens via bounded TakeOrdered + sequential rank.
+      val top = graft.operators.OrderStats.topK(
+        counts, Seq(col("n").desc, col("w")), 20, "rk")
       top.select(col("rk"), col("w"), col("n"), js)
         .withColumn("bucket", bucket)
         .join(broadcast(grid), Seq("j", "bucket"))
@@ -247,12 +250,11 @@ object Pipeline9 {
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("p_a"))
       val b = items.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("p_b"))
-      a.join(b, col("ok") === col("ok_b") && col("p_a") < col("p_b"))
+      val pairs = a.join(b, col("ok") === col("ok_b") && col("p_a") < col("p_b"))
         .groupBy(col("p_a"), col("p_b"))
         .agg(count(lit(1)).cast("long").as("n_orders"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("n_orders").desc, col("p_a"), col("p_b"))).cast("long"))
-        .filter(col("rk") <= 50)
+      graft.operators.OrderStats.topK(
+          pairs, Seq(col("n_orders").desc, col("p_a"), col("p_b")), 50, "rk")
         .select(col("rk"), col("p_a"), col("p_b"), col("n_orders"))
         .orderBy(col("rk"))
     },
@@ -263,8 +265,25 @@ object Pipeline9 {
     // map-side, and this exact query is what validates that sketch.
     "q_quantile_bands" -> { (s, dir) =>
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
-      o.withColumn("band", ntile(10).over(
-          Window.orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+      // NTILE re-derived from the scalable two-phase global rank: SQL
+      // ntile gives the first N % n buckets one extra row, so
+      //   band(rn) = (rn-1) DIV (bs+1) + 1              while rn lands in
+      //              the r oversized buckets, else
+      //              r + (rn - r·(bs+1) - 1) DIV bs + 1
+      // with bs = N DIV n, r = N % n. The bs = 0 edge (N < n) always
+      // takes the first branch (rn ≤ N = r there), so the DIV bs never
+      // evaluates. This replaces ntile over an unpartitioned window —
+      // a full-table single-partition sort at scale.
+      val ranked = graft.operators.OrderStats.running(
+        o, Seq(col("o_totalprice"), col("o_orderkey")), Some("rn"))
+      val nrow = o.agg(count(lit(1)).cast("long").as("nn"))
+      ranked.crossJoin(broadcast(nrow))
+        .withColumn("band", expr(
+          """CASE WHEN rn <= (nn % 10) * (nn DIV 10 + 1)
+            |     THEN (rn - 1) DIV (nn DIV 10 + 1) + 1
+            |     ELSE (nn % 10) + (rn - (nn % 10) * (nn DIV 10 + 1) - 1)
+            |            DIV (nn DIV 10) + 1
+            |END""".stripMargin).cast("long"))
         .groupBy(col("band"))
         .agg(
           count(lit(1)).cast("long").as("n"),
