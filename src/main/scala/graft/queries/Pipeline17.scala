@@ -166,15 +166,25 @@ object Pipeline17 {
         (round(col("c_acctbal") * 100).cast("long") +
           when(pmod(col("c_custkey"), lit(7)) === 0, 25L).otherwise(0L))
           .as("rbal"))
-      val scored = left.join(right, col("ln") === col("rn"))
+      // The published filter keeps only score >= 4, and the name term is
+      // the ONLY way to reach 4 (segment 2 + balance 1 max out at 3) —
+      // so blocking on (nation, case-folded name) is EXACTLY equivalent
+      // to nation-only blocking here, and turns Σ|block|² candidate
+      // pairs (quadratic in per-nation population) into a hash equi-join
+      // whose fan-out is the name-collision rate. This is the blocking
+      // key a 100 TB linkage job needs; the nation-block variant dies at
+      // a few million customers per nation.
+      val scored = left.join(right,
+          col("ln") === col("rn") &&
+            lower(col("lname")) === lower(col("rname")))
         .withColumn("score",
-          when(lower(col("lname")) === lower(col("rname")), 4L).otherwise(0L) +
+          lit(4L) +
           when(col("lseg") === col("rseg"), 2L).otherwise(0L) +
           when(abs(col("lbal") - col("rbal")) <= 100L, 1L).otherwise(0L))
       val best = scored.withColumn("pick", row_number().over(
           Window.partitionBy(col("lk"))
             .orderBy(col("score").desc, col("rk"))))
-        .filter(col("pick") === 1 && col("score") >= 4)
+        .filter(col("pick") === 1)
       best.groupBy(col("score"))
         .agg(count(lit(1)).cast("long").as("n_links"),
           sum(when(col("lk") === col("rk"), 1L).otherwise(0L))
