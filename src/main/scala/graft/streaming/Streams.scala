@@ -29,13 +29,30 @@ object Streams {
     StructField("props", StringType)))
 
   /** File-based stream over an events directory; ts normalized to a real
-    * timestamp column like the batch path (Tables.events).
+    * timestamp column like the batch path (Tables.events), whatever the
+    * files' physical representation. A streaming source needs its schema
+    * up front, so the directory is probed once with a batch footer read
+    * at stream-definition time (files appended later must keep the same
+    * physical type — the standard file-stream contract). Mirrors the
+    * three-representation tolerance of Tables.events: raw NANOS (long),
+    * micros TIMESTAMP, micros TIMESTAMP_NTZ.
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val probed =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: Throwable => LongType }
+    val schema = StructType(eventsSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = probed)
+      case f => f
+    })
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    probed match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Tumbling-window counts/sums per event_type with a watermark: the
     * canonical streaming aggregation. Late data beyond the watermark is

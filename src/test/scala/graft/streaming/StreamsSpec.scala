@@ -34,6 +34,41 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("eventsStream normalizes every parquet timestamp representation") {
+    // The round-4 driver testdata switched events.ts from NANOS to
+    // micros-NTZ and broke the batch loader; pin the streaming loader
+    // against all three physical shapes.
+    import org.apache.spark.sql.functions.{col, timestamp_micros, lit}
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val us = 60_000_000L // 1970-01-01T00:01:00Z
+    def fixture(f: org.apache.spark.sql.Column): String = {
+      val dir = Files.createTempDirectory("events_repr").toString
+      Seq((1L, 10L, "click", 1.0, "{}"))
+        .toDF("event_id", "user_id", "event_type", "value", "props")
+        .withColumn("ts", f)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val dirs = Seq(
+      "nanos-long" -> fixture(lit(us * 1000)),
+      "micros-ltz" -> fixture(timestamp_micros(lit(us))),
+      "micros-ntz" -> fixture(timestamp_micros(lit(us)).cast(TimestampNTZType)))
+    dirs.foreach { case (label, dir) =>
+      val st = Streams.eventsStream(spark, dir)
+      assert(st.schema("ts").dataType == TimestampType, label)
+      val q = st.writeStream.format("memory")
+        .queryName(s"repr_${label.replace('-', '_')}").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table(s"repr_${label.replace('-', '_')}")
+          .select(org.apache.spark.sql.functions.unix_micros(col("ts")))
+          .as[Long].collect().toSeq
+        assert(got == Seq(us), s"$label: $got")
+      } finally q.stop()
+    }
+  }
+
   test("streaming dedup drops repeated event ids") {
     val dir = Files.createTempDirectory("events2").toString
     Seq(
