@@ -25,6 +25,7 @@ class NoDuplicateKeysSpec extends AnyFunSuite {
     "Pipeline16" -> Pipeline16.queries, "Pipeline17" -> Pipeline17.queries,
     "Pipeline18" -> Pipeline18.queries, "Pipeline19" -> Pipeline19.queries,
     "Pipeline20" -> Pipeline20.queries, "Pipeline21" -> Pipeline21.queries,
+    "Pipeline22" -> Pipeline22.queries,
     "Extensions" -> Extensions.queries)
 
   private val oracleMaps: Seq[(String, Map[String, _])] = Seq(
@@ -41,6 +42,7 @@ class NoDuplicateKeysSpec extends AnyFunSuite {
     "Pipeline16" -> Pipeline16.oracle, "Pipeline17" -> Pipeline17.oracle,
     "Pipeline18" -> Pipeline18.oracle, "Pipeline19" -> Pipeline19.oracle,
     "Pipeline20" -> Pipeline20.oracle, "Pipeline21" -> Pipeline21.oracle,
+    "Pipeline22" -> Pipeline22.oracle,
     "Extensions" -> Extensions.oracle)
 
   private def dupes(maps: Seq[(String, Map[String, _])]): Seq[String] =
