@@ -26,9 +26,25 @@ import org.apache.spark.sql.SparkSession
   * shifted out of the stall window — and the overall minimum is
   * reported. Every reported number is still a complete end-to-end
   * execution of the query's plan.
+  *
+  * Noise forensics (round 6): two driver rounds running were contaminated
+  * by a contended bench machine (r4 ~1.27× inflated catalog-wide; r5 tail
+  * spikes to 7.5× that did not reproduce on a quiet box). So the JSON now
+  * carries the evidence to adjudicate noise WITHOUT a re-run: per-query
+  * `retried` (did it need the time-shifted retry path) and the machine's
+  * 1-minute loadavg sampled before and after the run (a loadavg well
+  * above the core count = contended machine, distrust the tail).
   */
 object Bench {
+  /** /proc/loadavg first field; -1 when unreadable (non-Linux). */
+  private def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadBefore = loadAvg1m()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional args restrict to the named queries (local iteration; the
     // driver always calls with no args → full catalog).
@@ -80,17 +96,19 @@ object Bench {
         retry += 1
         attempts = attempts ++ runOne(name, fn, s"retry$retry").toList
       }
-      name -> attempts.minOption
+      name -> (attempts.minOption, retry > 0)
     }
-    val failed = results.collect { case (name, None) => name }
-    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
+    val failed = results.collect { case (name, (None, _)) => name }
+    val qs = results.collect { case (k, (Some(v), _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val retried = results.collect { case (name, (_, true)) => name }
+    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    val total = results.flatMap(_._2._1).sum
     // The driver stores a truncated tail of the JSON line; a stderr
     // summary of the worst cases keeps every round's ledger inspectable
     // without a re-run.
-    val slowest = results.collect { case (n, Some(v)) => n -> v }
+    val slowest = results.collect { case (n, (Some(v), _)) => n -> v }
       .sortBy(-_._2).take(10)
     // Failures FIRST and unmissable: the stored tail may truncate the JSON
     // head, so the failure list and totals must survive on stderr
@@ -101,7 +119,9 @@ object Bench {
       System.err.println(s"[bench] *** INCOMPLETE RUN: ${failed.size} queries FAILED: ${failed.mkString(", ")} ***")
     System.err.println("[bench] top-10 slowest:")
     slowest.foreach { case (n, v) => System.err.println(f"[bench]   $n $v%.2fs") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"complete":${failed.isEmpty},"sf":"$sfDir"}""")
+    val loadAfter = loadAvg1m()
+    System.err.println(s"[bench] loadavg before=$loadBefore after=$loadAfter retried=$retriedJson")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"complete":${failed.isEmpty},"retried":$retriedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

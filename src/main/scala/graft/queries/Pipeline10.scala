@@ -152,7 +152,7 @@ object Pipeline10 {
       val ranked = graft.operators.OrderStats.running(
         daily.crossJoin(broadcast(tot))
           .withColumn("dev", col("n") * col("cnt") - col("s")),
-        Seq(col("day")), Some("rn"))
+        Seq(col("day")), Some("rn"), boundedInput = true)
       val den = ranked.agg(sum(col("dev") * col("dev")).cast("long").as("den"))
       val lags = Seq(1L, 2L, 3L, 4L, 5L).toDF("lag")
       ranked.select(col("dev"), col("rn"))

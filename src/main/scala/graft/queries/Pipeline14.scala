@@ -42,13 +42,15 @@ object Pipeline14 {
         .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("cents"))
       val tot = daily.agg(sum(col("cents")).cast("long").as("sc"),
         count(lit(1)).cast("long").as("n"))
-      // Running CUSUM via the range-partitioned two-phase prefix sum:
-      // the day frame is calendar-bounded, but the shape should still be
-      // the one that survives any span (no single-partition window).
+      // Running CUSUM via the two-phase prefix sum; the day frame is
+      // calendar-bounded (a few thousand rows at ANY sf), so boundedInput
+      // swaps the range shuffle + its bounds-sampling job for a single
+      // one-task prefix scan — same semantics, no single-partition window.
       val cs = graft.operators.OrderStats.running(
         daily.crossJoin(broadcast(tot))
           .withColumn("dev", col("n") * col("cents") - col("sc")),
-        Seq(col("day")), None, Seq("dev" -> "cusum"))
+        Seq(col("day")), None, Seq("dev" -> "cusum"),
+        boundedInput = true)
       val peak = cs.agg(max(abs(col("cusum"))).cast("long").as("peak"))
       cs.crossJoin(broadcast(peak))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
@@ -106,7 +108,7 @@ object Pipeline14 {
       // rank (b.x ∈ [a.x−6, a.x] = the previous 6 rows + current, since
       // ranks are consecutive) — no single-partition sliding window.
       val ranked = graft.operators.OrderStats.running(
-        daily, Seq(col("day")), Some("x"))
+        daily, Seq(col("day")), Some("x"), boundedInput = true)
       val a = ranked.select(col("day"), col("cents"), col("x"))
       val b = broadcast(ranked.select(col("x").as("bx"),
         col("cents").as("bcents")))

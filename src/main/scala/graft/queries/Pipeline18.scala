@@ -110,17 +110,25 @@ object Pipeline18 {
       val per = life.groupBy(col("d"))
         .agg(count(lit(1)).cast("long").as("cnt"),
           sum(col("observed")).cast("long").as("deaths"))
-      // at-risk at d = everyone whose lifetime >= d: a reversed
-      // cumulative count; both directions via the range-partitioned
-      // two-phase prefix sums (no single-partition windows).
-      val atRisk = graft.operators.OrderStats.running(
-        per, Seq(col("d").desc), None, Seq("cnt" -> "n_risk"))
-      graft.operators.OrderStats.running(
-          atRisk
-            .filter(col("deaths") > 0)
-            .withColumn("hazard_micro",
-              expr("deaths * 1000000000000L DIV n_risk")),
-          Seq(col("d")), None, Seq("hazard_micro" -> "cum_hazard_micro"))
+      // ONE fused OrderStats pass (round 6): at-risk at d = everyone whose
+      // lifetime >= d = the DESCENDING cumulative count, derived from the
+      // ascending pass as total − exclusive prefix; the hazard increment
+      // (deaths·1e12 DIV at-risk, integer micro-units) is a derived column
+      // over that output, and its cumulative rides the same materialized
+      // partitioning — one exchange total, where round 5 paid two range
+      // shuffles + two checkpoints. The frame is post-groupBy(d): ≤ a few
+      // thousand distinct lifetime days at ANY sf, hence boundedInput.
+      val stats = graft.operators.OrderStats.running(
+        per, Seq(col("d")), None,
+        cumDesc = Seq("cnt" -> "n_risk"),
+        derived = Seq("hazard_micro" -> ((r: org.apache.spark.sql.Row) =>
+          if (r.getAs[Long]("deaths") > 0)
+            Long.box(r.getAs[Long]("deaths") * 1000000000000L /
+              r.getAs[Long]("n_risk"))
+          else null)),
+        derivedCum = Seq("hazard_micro" -> "cum_hazard_micro"),
+        boundedInput = true)
+      stats.filter(col("deaths") > 0)
         .select(col("d").as("d_days"), col("deaths"), col("n_risk"),
           col("hazard_micro"),
           (col("cum_hazard_micro").cast("double") / lit(1e12))
@@ -140,15 +148,18 @@ object Pipeline18 {
           .cast("long").as("cents"))
       val tot = daily.agg(count(lit(1)).cast("long").as("n_days"),
         sum(col("cents")).cast("long").as("total"))
-      // Two-phase prefix pass #1: running detrended sum v; pass #2:
-      // running max of v (exclusive, folded inclusive via greatest) —
-      // both range-partitioned, no single-partition windows.
-      val cum = graft.operators.OrderStats.running(
-        daily.crossJoin(broadcast(tot))
-          .withColumn("dev", col("cents") * col("n_days") - col("total")),
-        Seq(col("day")), None, Seq("dev" -> "v"))
+      // ONE fused OrderStats pass (round 6): cumMaxOfCum emits the running
+      // detrended sum v AND the exclusive running max of v from the same
+      // exchange (pass 1 additionally tracks each partition's max local
+      // prefix, so cross-partition max offsets come from metadata) — round
+      // 5 chained two running() calls here. Daily frame is ~2.4k rows at
+      // any sf (bounded by the calendar), hence boundedInput.
       val series = graft.operators.OrderStats.running(
-          cum, Seq(col("day")), None, Nil, Seq("v" -> "pm"))
+          daily.crossJoin(broadcast(tot))
+            .withColumn("dev", col("cents") * col("n_days") - col("total")),
+          Seq(col("day")), None,
+          cumMaxOfCum = Seq(("dev", "v", "pm")),
+          boundedInput = true)
         .withColumn("peak", greatest(coalesce(col("pm"), col("v")), col("v")))
         .withColumn("dd", col("peak") - col("v"))
       series.agg(max(col("n_days")).as("n_days"),

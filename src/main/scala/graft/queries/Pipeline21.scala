@@ -156,7 +156,8 @@ object Pipeline21 {
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long"))
           .cast("long").as("cents"))
-      val ranked = OrderStats.running(daily, Seq(col("day")), Some("rn"))
+      val ranked = OrderStats.running(daily, Seq(col("day")), Some("rn"),
+        boundedInput = true)
       val a = ranked.select(col("day"), col("cents"), col("rn"))
       val b = broadcast(ranked.select(col("rn").as("brn"),
         col("cents").as("bcents")))
@@ -229,8 +230,15 @@ object Pipeline21 {
       val ev = t(s, dir, "events")
         .select(col("event_type"), col("user_id"))
       val words = ev
-        .withColumn("bucket", expr("user_id DIV 63"))
-        .withColumn("bit", expr("shiftleft(1L, CAST(user_id % 63 AS INT))"))
+        // Floor division + non-negative modulus (the repo's range-join
+        // shape): plain DIV/% truncate toward zero and carry the dividend
+        // sign, so a negative user_id would feed shiftleft a negative bit
+        // position and corrupt the packed word. pmod keeps the bit in
+        // [0, 63) over the whole long domain.
+        .withColumn("bucket", expr(
+          "CASE WHEN user_id % 63 < 0 THEN user_id DIV 63 - 1 " +
+            "ELSE user_id DIV 63 END"))
+        .withColumn("bit", expr("shiftleft(1L, CAST(pmod(user_id, 63) AS INT))"))
         .groupBy(col("event_type"), col("bucket"))
         .agg(bit_or(col("bit")).as("word"))
       val packed = words.groupBy(col("event_type"))
@@ -391,7 +399,8 @@ object Pipeline21 {
 
     "q_bitmap_index" ->
       """WITH words AS (SELECT event_type, user_id // 63 AS bucket,
-        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS word
+        |    bit_or(CAST(1 AS BIGINT) <<
+        |      CAST(((user_id % 63) + 63) % 63 AS INT)) AS word
         |  FROM events GROUP BY event_type, bucket),
         |packed AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_words,
         |    CAST(SUM(bit_count(word)) AS BIGINT) AS bitmap_distinct

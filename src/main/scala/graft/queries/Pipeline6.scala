@@ -199,6 +199,9 @@ object Pipeline6 {
         // zero information (pairs are deduped downstream anyway). A
         // degree-cap guard for 100x line-count skew — TPC-H orders have
         // <=7 lines; a pathological 10k-line order would emit 1e8 pairs.
+        // The oracle SQL mirrors the cap (ROW_NUMBER <= 1000 over sorted
+        // distinct parts per order), so query and oracle agree even on
+        // data that actually trips it.
         .withColumn("pks", when(size(col("pks")) <= 1000, col("pks"))
           .otherwise(slice(sort_array(col("pks")), 1, 1000)))
         .select(explode(col("pks")).as("src"), col("pks"))
@@ -255,6 +258,9 @@ object Pipeline6 {
         // zero information (pairs are deduped downstream anyway). A
         // degree-cap guard for 100x line-count skew — TPC-H orders have
         // <=7 lines; a pathological 10k-line order would emit 1e8 pairs.
+        // The oracle SQL mirrors the cap (ROW_NUMBER <= 1000 over sorted
+        // distinct parts per order), so query and oracle agree even on
+        // data that actually trips it.
         .withColumn("pks", when(size(col("pks")) <= 1000, col("pks"))
           .otherwise(slice(sort_array(col("pks")), 1, 1000)))
         .select(explode(col("pks")).as("src"), col("pks"))
@@ -372,8 +378,13 @@ object Pipeline6 {
         |WHERE id >= 1000 AND id < 50000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pagerank" ->
-      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |    FROM lineitem a JOIN lineitem b
+      """WITH ranked AS (SELECT l_orderkey, l_partkey,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+        |      AS r
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)),
+        |kept AS (SELECT l_orderkey, l_partkey FROM ranked WHERE r <= 1000),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |    FROM kept a JOIN kept b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
         |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
         |p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM deg),
@@ -401,9 +412,13 @@ object Pipeline6 {
     // (node, hop) pairs — bounded by 4×|nodes| — while min(hop) at the
     // end selects each node's true distance.
     "q_bfs_hops" ->
-      """WITH RECURSIVE e AS (SELECT DISTINCT a.l_partkey AS src,
-        |    b.l_partkey AS dst
-        |    FROM lineitem a JOIN lineitem b
+      """WITH RECURSIVE ranked AS (SELECT l_orderkey, l_partkey,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+        |      AS r
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)),
+        |kept AS (SELECT l_orderkey, l_partkey FROM ranked WHERE r <= 1000),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |    FROM kept a JOIN kept b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
         |bfs AS (
         |  SELECT DISTINCT src AS node, 0 AS hop FROM e WHERE src < 100

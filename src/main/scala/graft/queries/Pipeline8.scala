@@ -97,14 +97,18 @@ object Pipeline8 {
         col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("w"))
       // Distributed scan: key-derived blocks → block sums → running
-      // offsets (window over the tiny block table) → per-block cumsum.
+      // offsets → per-block cumsum. The block-table prefix sum goes
+      // through OrderStats (round 6): the old unpartitioned window here
+      // executed EAGERLY at build time (the localCheckpoint), so the
+      // plan-only NoGlobalWindowSpec never saw it — and the block table
+      // is keyspace/4096, which SCALES with the data (1.5M blocks at 6B
+      // orders), so it deserves the range-partitioned path, not a
+      // single-partition sort. Exclusive offset = inclusive cum − own sum.
       val blocked = o.withColumn("blk", expr("o_orderkey div 4096"))
-      val offs = blocked.groupBy(col("blk")).agg(sum(col("w")).as("bsum"))
-        .withColumn("off",
-          coalesce(sum(col("bsum")).over(
-            Window.orderBy(col("blk"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .localCheckpoint() // ≤ keyspace/4096 rows
+      val offs = graft.operators.OrderStats.running(
+          blocked.groupBy(col("blk")).agg(sum(col("w")).cast("long").as("bsum")),
+          Seq(col("blk")), None, Seq("bsum" -> "cumb"))
+        .withColumn("off", col("cumb") - col("bsum"))
       val tot = offs.agg(sum(col("bsum")).as("tot"))
       blocked.join(broadcast(offs.select(col("blk"), col("off"))), Seq("blk"))
         .withColumn("cum", col("off") + sum(col("w")).over(

@@ -30,16 +30,27 @@ final class HttpShell(spark: SparkSession, baseDir: String, port: Int = 3000) {
 
   private val lake = new DataLake(spark, baseDir)
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", (ex: HttpExchange) => route(ex))
-    server.setExecutor(null) // request-at-a-time; Spark jobs serialize anyway
+    // Concurrent request handling, like the reference's Axum runtime
+    // (tokio serves each connection on the worker pool). A SparkSession
+    // is thread-safe for concurrent actions — jobs from parallel requests
+    // interleave in the scheduler — and the one shared-session conf the
+    // lake touches (Tables' nanosAsLong) is set-once-idempotent by
+    // design, so requests cannot bleed state into each other.
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = if (server != null) {
+    server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 
   private val DataPath = "/data/([^/]+)/(preview|delays|regression)".r
 

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   * continuous, locally or on a cluster — state lives in the state store,
   * partitioned by the grouping key.
   */
-object Streams {
+object Streams extends org.apache.spark.internal.Logging {
 
   /** The events schema as a streaming source schema (ts already micros —
     * streaming reads go through [[eventsStream]] which normalizes).
@@ -38,9 +38,22 @@ object Streams {
     * micros TIMESTAMP, micros TIMESTAMP_NTZ.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // Probe failures are narrowed to "directory not readable / no footer
+    // yet" (AnalysisException covers both empty-dir and missing-path in
+    // Spark's reader). Anything else — a corrupt footer, an IO error — is
+    // a real fault and must surface, NOT silently default the physical
+    // type: a stream defined before its first file lands would otherwise
+    // assume LongType and misread TIMESTAMP files appended later. The
+    // assumption is logged so the operator of an empty-dir stream can see
+    // which contract the source locked in.
     val probed =
       try spark.read.parquet(dir).schema("ts").dataType
-      catch { case _: Throwable => LongType }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          log.warn(s"eventsStream: could not probe $dir (${e.getMessage.linesIterator.next()}); " +
+            "assuming raw-nanos LongType ts — files appended later MUST match")
+          LongType
+      }
     val schema = StructType(eventsSchema.map {
       case f if f.name == "ts" => f.copy(dataType = probed)
       case f => f

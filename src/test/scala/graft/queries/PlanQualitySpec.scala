@@ -230,6 +230,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("fused order statistics: survival and drawdown pay ONE exchange each") {
+    // Round 5 chained two OrderStats.running calls (= two range shuffles
+    // + two checkpoints) in each of these; round 6 fuses both directions,
+    // the running-max-of-running-sum, and the chained hazard cumulative
+    // into one call. The output DataFrame starts from the checkpointed
+    // RDD, so the exchange is invisible to executedPlan — the invocation
+    // counter (1 invocation == 1 exchange) is the honest gate.
+    for (q <- Seq("q_survival_hazard", "q_max_drawdown")) {
+      val before = graft.operators.OrderStats.invocations.get
+      assert(SparkEntry.queries(q)(spark, dir).collect().nonEmpty, q)
+      assert(graft.operators.OrderStats.invocations.get - before == 1,
+        s"$q should fuse to exactly one OrderStats exchange")
+    }
+  }
+
   test("q_heavy_hitters: candidate semi-join broadcasts; recount is two-phase") {
     val p = plan("q_heavy_hitters")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),

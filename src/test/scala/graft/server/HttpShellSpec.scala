@@ -174,4 +174,38 @@ class HttpShellSpec extends AnyFunSuite {
     assert(get("/data/trains/preview?limit=abc").statusCode() === 400)
     assert(get("/data/trains/delays?sorting=Sideways").statusCode() === 400)
   }
+
+  test("concurrent mixed requests are isolated (axum serves in parallel)") {
+    // The reference's Axum runtime handles requests concurrently; the
+    // shell runs an 8-thread executor over ONE shared SparkSession. Fire
+    // a mixed wave — different datasets, sort directions, limits, good
+    // and bad requests — in parallel and require every response to be
+    // byte-identical to its sequential baseline: no cross-request conf
+    // bleed (Tables' set-once session conf), no row leakage between
+    // result sets, errors confined to their own request.
+    val calls: Seq[() => (Int, String)] = Seq(
+      () => { val r = get("/data/trains/preview?limit=2"); (r.statusCode(), r.body()) },
+      () => { val r = get("/data/trains/delays?sorting=Desc"); (r.statusCode(), r.body()) },
+      () => { val r = get("/data/trains/delays?sorting=Asc"); (r.statusCode(), r.body()) },
+      () => { val r = get("/data/plz/preview?limit=3"); (r.statusCode(), r.body()) },
+      () => { val r = post("/data/plz/regression",
+        """{"x_col":"qkm","y_col":"einwohner"}"""); (r.statusCode(), r.body()) },
+      () => { val r = get("/data/ghost/preview"); (r.statusCode(), "") },
+      () => { val r = post("/data/plz/regression", """{"bogus":1}"""); (r.statusCode(), "") },
+      () => { val r = get("/data/a+b/preview"); (r.statusCode(), r.body()) })
+    val baseline = calls.map(_())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(16))
+    // 3 waves of all 8 shapes in flight at once (24 concurrent requests).
+    val results = Await.result(
+      Future.sequence(Seq.fill(3)(calls).flatten.zipWithIndex.map {
+        case (c, i) => Future((i % calls.size, c()))
+      }), 120.seconds)
+    results.foreach { case (i, got) =>
+      assert(got === baseline(i), s"concurrent response $i diverged")
+    }
+  }
 }
