@@ -82,6 +82,16 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $tag $name $sec%.2fs${if (ok) "" else " FAILED"}")
+      // Drop the blocks pinned by this run's eager localCheckpoints
+      // (graph edge frames, OrderStats partitionings, ...) BEFORE the
+      // next run. Checkpointed RDDs stay in the block manager until the
+      // driver GC happens to collect their handles; across hundreds of
+      // query×pass executions they accumulate gigabytes of storage,
+      // squeeze execution memory, and surface as the multi-minute GC /
+      // time-to-safepoint stalls both contaminated driver rounds showed.
+      // Outside the timed window; the finished query's frames are dead.
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       if (ok) Some(sec) else None
     }
     val timings = (1 to passes).map { pass =>

@@ -36,6 +36,11 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same hygiene as Bench: drop blocks pinned by this query's eager
+      // localCheckpoints so a 200+-query dump doesn't accumulate
+      // gigabytes of dead checkpoint storage (GC/safepoint stalls).
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

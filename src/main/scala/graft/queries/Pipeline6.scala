@@ -213,13 +213,16 @@ object Pipeline6 {
         .withColumn("d", count(lit(1)).over(Window.partitionBy(col("src"))))
       val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
       s.conf.set("spark.sql.adaptive.enabled", "false")
-      val ew =
-        try edges.localCheckpoint()
-        finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       // Node frame (src, d): ew is hash(src)-partitioned, so this
-      // aggregate plans with NO exchange; references rescan the
-      // checkpointed RDD, never the edge build.
-      val deg = ew.groupBy(col("src")).agg(max(col("d")).as("d"))
+      // aggregate plans with NO exchange. It is referenced TWICE (rank
+      // init + the final degree join) and each lazy reference would
+      // re-run the 4.5M-edge pass — checkpoint the ~node-sized result
+      // once (round 6), same AQE-off bracket so the layout survives.
+      val (ew, deg) =
+        try {
+          val e = edges.localCheckpoint()
+          (e, e.groupBy(col("src")).agg(max(col("d")).as("d")).localCheckpoint())
+        } finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       var pr = deg.select(col("src").as("node"), lit(1.0).as("pr"))
       for (_ <- 1 to 3) {
         pr = ew.join(pr.hint("shuffle_hash"), ew("src") === pr("node"))

@@ -493,31 +493,106 @@ object Pipeline9 {
     // visible in the result itself; both sides are deterministic, so the
     // oracle replays sample AND truth bit-for-bit.
     "q_quantile_sketch" -> { (s, dir) =>
-      // 60-bit numeric hash prefix, not the 32-char hex string: the
-      // bottom-k selection sorts every input partition, and long
-      // comparisons cut that sort's cost ~2× vs string md5 keys
-      // Fan out before hashing: the table reads as one split, and 600k
-      // md5s on one core would dominate the query (the shuffle that
-      // spreads them is narrow rows, ~free by comparison).
-      val li = t(s, dir, "lineitem")
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      // Round-6 shave (was ~5s at sf0.1, dominated by two costs):
+      //  1. The bottom-k selection sorted EVERY row. hk is uniform on
+      //     [0, 2^60), so the true per-group bottom-512 all sit below
+      //     ~(512/n)·2^60; pre-filtering at 8× that threshold passes
+      //     ~4k rows per group into the sort while keeping exactness
+      //     PROVABLE: if ≥ min(512, n) rows survive the filter, the
+      //     bottom-512 are all among them (everything dropped hashes
+      //     above a kept value). An assert_true guard enforces that
+      //     invariant at runtime — undershoot needs a group to land 8×
+      //     under its expected count (Chernoff-impossible at k=512, and
+      //     loudly fatal rather than silently wrong if it ever happened).
+      //  2. Exact percentiles ran through ObjectHashAggregate, buffering
+      //     every value per group and merge-sorting ~n values in ONE
+      //     task per group. Re-derived by rank arithmetic instead:
+      //     group by (flag, value) with a codegen count, one OrderStats
+      //     prefix pass over (flag, value) for per-flag cumulative
+      //     counts (full shuffle parallelism — no 3-partition window),
+      //     then pick the two bracketing values of idx = p·(n−1) and
+      //     interpolate with EXACTLY the builtin's formula
+      //     (hi−idx)·lower + (idx−lo)·higher, so results stay
+      //     bit-identical to percentile()/QUANTILE_CONT.
+      // 60-bit numeric hash prefix, not the 32-char hex string: long
+      // comparisons are ~2× cheaper to sort. Fan out before hashing:
+      // the table reads as one split; both branches share the one
+      // RoundRobin exchange (identical subplan → ReusedExchange).
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // Materialize the fanned-out projection ONCE: the single-split scan
+      // + round-robin exchange would otherwise re-run for every consumer
+      // job (count, threshold, sample, value-histogram, and OrderStats'
+      // range-bounds sampling — five executions measured). Narrow rows,
+      // one checkpoint, every downstream pass reads 32-way parallel.
+      val base = t(s, dir, "lineitem")
+        .repartition(nPart)
         .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"),
-          conv(substring(md5f(concat(lit("qs|"), col("l_orderkey").cast("string"),
-            lit("|"), col("l_linenumber").cast("string"))), 1, 15), 16, 10)
-            .cast("long").as("hk"))
-      val samp = li
+          col("l_orderkey"), col("l_linenumber"))
+        .localCheckpoint()
+      val hkMax = 1152921504606846976L // 16^15 = 2^60
+      val cnts = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val th = cnts.withColumn("th",
+        when(col("n") <= 512L * 8, lit(hkMax))
+          .otherwise(expr(s"${hkMax}L DIV n * (512 * 8)")))
+      val li = base.withColumn("hk",
+        conv(substring(md5f(concat(lit("qs|"), col("l_orderkey").cast("string"),
+          lit("|"), col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      val samp = li.join(broadcast(th), Seq("l_returnflag"))
+        .filter(col("hk") <= col("th"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("l_returnflag"))
             .orderBy(col("hk"), col("l_orderkey"), col("l_linenumber"))).cast("long"))
         .filter(col("rn") <= 512)
       val est = samp.groupBy(col("l_returnflag")).agg(
         expr("percentile(l_extendedprice, 0.5)").as("est_p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("est_p90"))
-      val tru = li.groupBy(col("l_returnflag")).agg(
-        count(lit(1)).cast("long").as("n"),
-        expr("percentile(l_extendedprice, 0.5)").as("true_p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("true_p90"))
+        expr("percentile(l_extendedprice, 0.9)").as("est_p90"),
+        max(col("rn")).as("got"), max(col("n")).as("n_g"))
+        // Exactness guard for the threshold filter (see above): fatal,
+        // never silent. assert_true yields null on success, so the
+        // filter keeps every row while forcing evaluation.
+        .filter(assert_true(col("got") >= least(lit(512L), col("n_g")),
+          lit("quantile-sketch threshold prefilter undershot")).isNull)
+      val byVal = base.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      // Per-flag cumulative count WITHOUT a 3-partition window: one
+      // range-partitioned global prefix over (flag, value), minus each
+      // flag's exclusive offset (a flags-count-sized OrderStats on the
+      // bounded totals frame).
+      val cumg = graft.operators.OrderStats.running(
+        byVal, Seq(col("l_returnflag"), col("l_extendedprice")), None,
+        Seq("c" -> "cumg"))
+      val offs = graft.operators.OrderStats.running(
+          cnts, Seq(col("l_returnflag")), None, Seq("n" -> "cumn"),
+          boundedInput = true)
+        .select(col("l_returnflag"), (col("cumn") - col("n")).as("off"),
+          col("n"))
+      val cum = cumg.join(broadcast(offs), Seq("l_returnflag"))
+        .withColumn("cumf", col("cumg") - col("off"))
+      def pick(p: Double, tag: String) = {
+        val idx = lit(p) * (col("n") - 1).cast("double")
+        val lo = floor(idx).cast("long") + 1
+        val hi = ceil(idx).cast("long") + 1
+        Seq(
+          max(when(col("cumf") >= lo && col("cumf") - col("c") < lo,
+            col("l_extendedprice"))).as(s"l$tag"),
+          max(when(col("cumf") >= hi && col("cumf") - col("c") < hi,
+            col("l_extendedprice"))).as(s"h$tag"))
+      }
+      def interp(p: Double, tag: String) = {
+        val idx = lit(p) * (col("n") - 1).cast("double")
+        val loD = floor(idx)
+        val hiD = ceil(idx)
+        when(loD === hiD, col(s"l$tag"))
+          .otherwise((hiD - idx) * col(s"l$tag") + (idx - loD) * col(s"h$tag"))
+      }
+      val tru = cum
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg((pick(0.5, "50") ++ pick(0.9, "90")).head,
+          (pick(0.5, "50") ++ pick(0.9, "90")).tail: _*)
+        .select(col("l_returnflag"), col("n"),
+          interp(0.5, "50").as("true_p50"), interp(0.9, "90").as("true_p90"))
       tru.join(est, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n"),
           col("est_p50"), col("true_p50"), col("est_p90"), col("true_p90"))
