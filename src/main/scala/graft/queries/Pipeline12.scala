@@ -55,7 +55,7 @@ object Pipeline12 {
   /** Distinct co-purchase edges (src ≠ dst, both directions), built by
     * per-order grouping — the q_bfs_hops / q_pagerank graph.
     */
-  private def coEdges(li: org.apache.spark.sql.DataFrame) =
+  private[queries] def coEdges(li: org.apache.spark.sql.DataFrame) =
     li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy(col("ok")).agg(collect_list(col("pk")).as("pks"))
       .select(explode(col("pks")).as("src"), col("pks"))
