@@ -378,4 +378,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(cls.nonEmpty && cls.forall(_ == ExplainAudit.RealBnlj),
       s"explode-above-scalar must classify real: $cls")
   }
+
+  test("batch 27-28 additions: bounded brute force, hash joins, one OrderStats pass") {
+    // q_ann_recall's exact baseline is the intentional probe-bounded
+    // nested loop (the q_embed_knn shape: <=200 broadcast probes x N);
+    // the LSH pass must be an equi-join on the bucket, never a second
+    // nested loop.
+    val ar = plan("q_ann_recall")
+    assert(ar.contains("BroadcastHashJoin"),
+      "LSH candidate generation must be a bucket equi-join\n" + ar)
+    assert(ar.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      "only the exact baseline may nested-loop\n" + ar)
+    assert(!ar.contains("CartesianProduct"), ar)
+    // Assortativity joins degree frames by key — hash joins only.
+    val ga = plan("q_graph_assortativity")
+    assert(!ga.contains("BroadcastNestedLoopJoin") || bnljClasses(
+      "q_graph_assortativity").forall(_ != ExplainAudit.RealBnlj), ga)
+    assert(!ga.contains("CartesianProduct"), ga)
+    // Compressibility audit: the lag window is partitioned by order key.
+    val ce = plan("q_compress_estimate")
+    assert(ce.contains("Window"), ce)
+    assert(!ce.contains("Window [") ||
+      !ce.replaceAll("\\s", "").contains("windowspecdefinition()"), ce)
+    // One OrderStats exchange per prefix-sum query in the new batches.
+    for (q <- Seq("q_changepoint_bss", "q_concurrency_peak", "q_bh_fdr")) {
+      val before = graft.operators.OrderStats.invocations.get
+      assert(SparkEntry.queries(q)(spark, dir).collect().nonEmpty, q)
+      assert(graft.operators.OrderStats.invocations.get - before == 1,
+        s"$q should pay exactly one OrderStats exchange")
+    }
+  }
 }
