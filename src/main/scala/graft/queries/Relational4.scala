@@ -8,10 +8,11 @@ import Qs._
 /** The rest of the TPC-H suite (Q3/Q5/Q10 live in [[Relational3]]; Q1 is
   * `q1_agg`). The harness star schema has no `partsupp` table and no
   * commit/receipt/shipmode columns, so the queries that depend on them
-  * (Q2, Q9, Q12, Q16, Q20, Q21, Q22) are adapted: same plan shape — the
-  * correlated subquery, the OR-of-ANDs pushdown, the double-EXISTS — on
-  * the columns that exist. Q11 is partsupp-only and has no faithful
-  * adaptation, so it is deliberately absent.
+  * (Q2, Q9, Q11, Q12, Q16, Q20, Q21, Q22) are adapted: same plan shape —
+  * the correlated subquery, the OR-of-ANDs pushdown, the double-EXISTS —
+  * on the columns that exist. Q11's partsupp "stock value" becomes
+  * lineitem extendedprice × quantity, keeping its defining scalar-
+  * subquery fraction threshold.
   *
   * Scale design notes (the suite is the canonical 100 TB join benchmark):
   *  - part/supplier/nation are broadcast everywhere they appear — they
@@ -187,6 +188,31 @@ object Relational4 {
     // Q12 (adapted — no l_shipmode/commitdate): returned lines by line
     // status, split into high/low order priority. One fact-fact join,
     // conditional aggregation.
+    // Q11 (adapted — no partsupp): important stock per part. "Stock
+    // value" is lineitem extendedprice × quantity restricted to one
+    // nation's suppliers; parts whose value exceeds a fixed fraction of
+    // the nation total survive. The classic scalar-subquery threshold is
+    // a broadcast 1-row aggregate; supplier/nation broadcast, one
+    // shuffle on partkey, values exact decimals until the final cast.
+    "q_tpch11" -> { (s, dir) =>
+      val sup = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val vals = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (dec(col("l_extendedprice"), 12, 2) * dec(col("l_quantity"), 12, 2)).as("v"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("v")).as("vd"))
+      val tot = vals.agg(sum(col("vd")).cast("double").as("total"))
+      vals.crossJoin(broadcast(tot))
+        .withColumn("value", col("vd").cast("double"))
+        .filter(col("value") > col("total") * lit(0.0001))
+        .select(col("l_partkey").as("ps_partkey"), col("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    },
+
     "q_tpch12" -> { (s, dir) =>
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
       t(s, dir, "lineitem")
@@ -462,6 +488,19 @@ object Relational4 {
          |JOIN orders ON l_orderkey = o_orderkey
          |WHERE p_name LIKE '%bolt%'
          |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q_tpch11" ->
+      """WITH sup AS (SELECT s_suppkey FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name = 'NATION_3'),
+        |v AS (SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(l_quantity AS DECIMAL(12,2))) AS vd
+        |  FROM lineitem l JOIN sup ON l.l_suppkey = sup.s_suppkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(vd) AS DOUBLE) AS total FROM v)
+        |SELECT l_partkey AS ps_partkey, CAST(vd AS DOUBLE) AS value
+        |FROM v, tot
+        |WHERE CAST(vd AS DOUBLE) > total * CAST(0.0001 AS DOUBLE)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
     "q_tpch12" ->
       """SELECT l_linestatus,
         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
