@@ -73,6 +73,16 @@ object ExplainAudit {
       case Some(_: GlobalLimitExec) | Some(_: LocalLimitExec) |
           Some(_: TakeOrderedAndProjectExec) => BoundedBnlj
       case Some(_: RDDScanExec) => BoundedBnlj // localCheckpoint leaf
+      // A literal range leaf has a static row count — the "grid" frames
+      // (10-row checkpoint/discount grids) are bounded by construction.
+      case Some(_: org.apache.spark.sql.execution.RangeExec) => BoundedBnlj
+      // A nested BNLJ whose BOTH sides classify bounded/scalar cannot
+      // exceed the product of two static bounds (e.g. a 10-row range
+      // cross-joined with a 1-row aggregate). Recurse; anything Real
+      // below keeps the whole build Real.
+      case Some(j: BroadcastNestedLoopJoinExec)
+          if classifyBuild(j.left, whole) != RealBnlj &&
+            classifyBuild(j.right, whole) != RealBnlj => BoundedBnlj
       case Some(_: ReusedExchangeExec) =>
         // Broadcast reused from elsewhere in the plan: fall back to a
         // whole-plan scan for a no-key aggregate (the only reuse pattern

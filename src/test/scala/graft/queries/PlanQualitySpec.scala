@@ -408,4 +408,23 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$q should pay exactly one OrderStats exchange")
     }
   }
+
+  test("batch 31 additions: every nested loop classifies bounded or scalar") {
+    // q_ndcg_retrieval's exact ranking is the probe-bounded brute force
+    // (explicit limit(300) roots the build at a static bound);
+    // q_heaps_law and q_psi_drift broadcast 10-row/statically-bounded
+    // grids (range × scalar — the recursive-BNLJ classifier case);
+    // q_runs_test's median is a scalar-aggregate build.
+    for (q <- Seq("q_psi_drift", "q_runs_test", "q_wasserstein_lengths",
+        "q_heaps_law", "q_ndcg_retrieval", "q_hurst_rs")) {
+      val cls = bnljClasses(q)
+      assert(!cls.contains(ExplainAudit.RealBnlj), s"$q: $cls")
+    }
+    // Hurst's per-segment windows must all be keyed by (w, seg).
+    val hr = plan("q_hurst_rs")
+    assert(!hr.replaceAll("\\s", "").contains("windowspecdefinition()"), hr)
+    // ANOVA is scan → partial/final agg → scalar: no joins at all.
+    val af = plan("q_anova_f")
+    assert(!af.contains("Join"), af)
+  }
 }
