@@ -75,7 +75,10 @@ object ExplainAudit {
       case Some(_: RDDScanExec) => BoundedBnlj // localCheckpoint leaf
       // A literal range leaf has a static row count — the "grid" frames
       // (10-row checkpoint/discount grids) are bounded by construction.
-      case Some(_: org.apache.spark.sql.execution.RangeExec) => BoundedBnlj
+      // The count is CHECKED, not trusted: a spark.range(1e9) build is a
+      // real nested loop regardless of how static its cardinality is.
+      case Some(r: org.apache.spark.sql.execution.RangeExec)
+          if r.numElements <= 10000 => BoundedBnlj
       // A nested BNLJ whose BOTH sides classify bounded/scalar cannot
       // exceed the product of two static bounds (e.g. a 10-row range
       // cross-joined with a 1-row aggregate). Recurse; anything Real

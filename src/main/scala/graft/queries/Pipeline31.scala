@@ -86,15 +86,18 @@ object Pipeline31 {
         .agg(count(lit(1)).cast("long").as("ng"),
           sum(col("n_chars")).cast("long").as("sg"),
           sum(dec(col("n_chars"), 38, 0) * dec(col("n_chars"), 38, 0)).as("qg"))
-        // per-group S²/n as a double of fixed shape, rounded so the
-        // cross-group sum is order-independent in both engines
-        .withColumn("tg", (col("sg").cast("double") * col("sg").cast("double") /
-          col("ng").cast("double")).cast(DecimalType(28, 10)))
+        // per-group S²/n in exact integer milli-units (scale-0 rule: a
+        // scaled-decimal sum converts to double differently across
+        // engines once the unscaled value passes ~2^53 — the q_twap /
+        // q_price_index trap). Exact integral division of exact decimal
+        // products is bit-identical everywhere at any magnitude.
+        .withColumn("tg", expr(
+          "CAST((CAST(sg AS DECIMAL(38,0)) * CAST(sg AS DECIMAL(38,0)) * 1000) DIV ng AS BIGINT)"))
       g.agg(count(lit(1)).cast("long").as("k_groups"),
           sum(col("ng")).cast("long").as("n_docs"),
           sum(col("sg")).cast("long").as("s_all"),
           sum(col("qg")).cast("double").as("q_all"),
-          sum(col("tg")).cast("double").as("t_all"))
+          (sum(dec(col("tg"), 38, 0)).cast("double") / 1e3).as("t_all"))
         .withColumn("ss_between", col("t_all") -
           col("s_all").cast("double") * col("s_all").cast("double") /
             col("n_docs").cast("double"))
@@ -360,14 +363,14 @@ object Pipeline31 {
       """WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ng,
         |    CAST(SUM(n_chars) AS BIGINT) AS sg,
         |    SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS qg,
-        |    CAST(CAST(SUM(n_chars) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE)
-        |      / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,10)) AS tg
+        |    CAST((CAST(SUM(n_chars) AS HUGEINT) * CAST(SUM(n_chars) AS HUGEINT)
+        |      * 1000) // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS tg
         |  FROM documents GROUP BY source),
         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
         |    CAST(SUM(ng) AS BIGINT) AS n_docs,
         |    CAST(SUM(sg) AS BIGINT) AS s_all,
         |    CAST(SUM(qg) AS DOUBLE) AS q_all,
-        |    CAST(SUM(tg) AS DOUBLE) AS t_all
+        |    CAST(SUM(CAST(tg AS HUGEINT)) AS DOUBLE) / 1e3 AS t_all
         |  FROM g)
         |SELECT k_groups, n_docs,
         |  t_all - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)

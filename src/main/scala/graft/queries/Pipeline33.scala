@@ -171,18 +171,27 @@ object Pipeline33 {
         .select(col("l_orderkey"),
           expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
         .groupBy(col("l_orderkey"))
+        // Sum-of-squares and S²/n terms in exact integer MEGA-cents²
+        // (per-row/per-group integral division — identical truncation in
+        // both engines). Unit choice is the oracle-parity rule, twice
+        // over: (1) scaled-decimal sums diverge past 2^53 unscaled (the
+        // q_twap trap); (2) even SCALE-0 sums diverge past ~2^63,
+        // because DuckDB's HUGEINT→DOUBLE computes hi·2^64+lo in double
+        // arithmetic (two roundings) while Java BigDecimal rounds once —
+        // caught live at sf0.1, where Σcents² ≈ 2.2e19 > 2^64 differed
+        // by one ulp. Mega-units keep the totals < 2^63 through sf1000.
         .agg(count(lit(1)).cast("long").as("ng"),
           sum(col("cents")).cast("long").as("sg"),
-          sum(dec(col("cents"), 38, 0) * dec(col("cents"), 38, 0)).as("qg"))
-        .withColumn("tg", (col("sg").cast("double") * col("sg").cast("double") /
-          col("ng").cast("double")).cast(DecimalType(28, 10)))
+          sum(expr("CAST((CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) DIV 1000000 AS BIGINT)")).as("qg"))
+        .withColumn("tg", expr(
+          "CAST((CAST(sg AS DECIMAL(38,0)) * CAST(sg AS DECIMAL(38,0))) DIV (CAST(ng AS DECIMAL(38,0)) * 1000000) AS BIGINT)"))
       g.agg(count(lit(1)).cast("long").as("k_groups"),
           sum(col("ng")).cast("long").as("n_rows"),
           sum(col("sg")).cast("long").as("s_all"),
           sum(dec(col("ng"), 38, 0) * dec(col("ng"), 38, 0))
             .cast("double").as("snn"),
-          sum(col("qg")).cast("double").as("q_all"),
-          sum(col("tg")).cast("double").as("t_all"))
+          (sum(dec(col("qg"), 38, 0)).cast("double") * 1e6).as("q_all"),
+          (sum(dec(col("tg"), 38, 0)).cast("double") * 1e6).as("t_all"))
         .withColumn("ssb", col("t_all") -
           col("s_all").cast("double") * col("s_all").cast("double") /
             col("n_rows").cast("double"))
@@ -349,20 +358,20 @@ object Pipeline33 {
       """WITH g AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS ng,
         |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
         |      AS sg,
-        |    SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+        |    CAST(SUM((CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
         |      * CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT))
-        |      AS qg
+        |      // 1000000) AS BIGINT) AS qg
         |  FROM lineitem GROUP BY 1),
-        |g2 AS (SELECT *, CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
-        |      / CAST(ng AS DOUBLE) AS DECIMAL(28,10)) AS tg
+        |g2 AS (SELECT *, CAST((CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT))
+        |      // (CAST(ng AS HUGEINT) * 1000000) AS BIGINT) AS tg
         |  FROM g),
         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
         |    CAST(SUM(ng) AS BIGINT) AS n_rows,
         |    CAST(SUM(sg) AS BIGINT) AS s_all,
         |    CAST(SUM(CAST(ng AS HUGEINT) * CAST(ng AS HUGEINT)) AS DOUBLE)
         |      AS snn,
-        |    CAST(SUM(qg) AS DOUBLE) AS q_all,
-        |    CAST(SUM(tg) AS DOUBLE) AS t_all
+        |    CAST(SUM(CAST(qg AS HUGEINT)) AS DOUBLE) * 1e6 AS q_all,
+        |    CAST(SUM(CAST(tg AS HUGEINT)) AS DOUBLE) * 1e6 AS t_all
         |  FROM g2),
         |b AS (SELECT k_groups, n_rows,
         |    (t_all - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)

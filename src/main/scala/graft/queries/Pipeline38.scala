@@ -76,9 +76,11 @@ object Pipeline38 {
         .orderBy(col("k"))
     },
 
-    // Forecast baselines on daily revenue: naive (yesterday) vs
-    // seasonal-naive (same weekday last week) MAE/MAPE and the seasonal
-    // skill ratio — the floor every real forecaster must beat.
+    // Forecast baselines on daily revenue: naive (previous observed day)
+    // vs seasonal-naive (7 OBSERVED days back — rn−7 over the observed
+    // series, which is the same weekday only when the calendar has no
+    // gaps) MAE/MAPE and the seasonal skill ratio — the floor every real
+    // forecaster must beat. The oracle mirrors the rn−7 convention.
     "q_forecast_baselines" -> { (s, dir) =>
       val daily = t(s, dir, "orders")
         .groupBy(col("o_orderdate").as("day"))

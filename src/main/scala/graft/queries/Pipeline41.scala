@@ -7,15 +7,16 @@ import graft.operators.OrderStats
 import Qs._
 
 /** Forty-first batch: market-structure and dedup audits — supplier
-  * revenue concentration per nation, cross-language duplicate texts,
+  * revenue concentration per nation, metadata-inconsistent near-dups,
   * unit-price dispersion per part, and brand return-rate z-scores.
   *
   * Scale design notes (100 TB):
   *  - q_supplier_hhi reduces lineitem to (nation, supplier) revenue,
   *    then |nations| rows of decimal-rounded share-square sums.
-  *  - q_crosslang_dup is the exact-dedup groupBy keyed on md5(text)
-  *    with a distinct-language count — only multi-language hash groups
-  *    survive the HAVING.
+  *  - q_near_dup_inconsistent rides the LSH band-bucket candidate join
+  *    (minhashLshPairs — sub-quadratic, verification restricted to
+  *    candidates) and joins the surviving pairs to per-doc metadata to
+  *    flag lang/source mismatches; no exact-dup groupBy anywhere.
   *  - q_price_dispersion aggregates (part, unit-price moments) in one
   *    shuffle and ranks the most-dispersed parts via OrderStats.topK.
   *  - q_return_rate_z is a |brands|-row aggregate plus one broadcast
