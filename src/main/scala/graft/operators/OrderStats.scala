@@ -47,10 +47,22 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * differently if the sort key were not total — and re-shuffling would
   * multiply the dominant cost anyway). Tradeoff (noted per advisor):
   * localCheckpoint truncates lineage, so executor loss makes the
-  * checkpointed partitions unrecoverable until the query re-runs, and the
-  * blocks stay pinned until the RDD is GC'd — acceptable for a
-  * deterministic-result operator whose callers re-execute on failure, and
-  * fusion (this round) halves how many such RDDs a chained query pins.
+  * checkpointed partitions unrecoverable until the query re-runs —
+  * acceptable for a deterministic-result operator whose callers
+  * re-execute on failure. On a real cluster where executor loss is
+  * routine, set a checkpoint dir and wrap the INPUT in
+  * `df.checkpoint()` (reliable, HDFS-backed) before calling; the
+  * operator's own intermediate stays local by design.
+  *
+  * Checkpoint LIFECYCLE: the materialized blocks stay pinned in the
+  * block manager until the RDD handle is GC'd (driver-side
+  * ContextCleaner). Every checkpoint this operator creates is tracked in
+  * a per-context registry; a library user chaining many calls in one
+  * session releases them deterministically with
+  * [[releaseCheckpoints]] once results are egressed. Releasing
+  * invalidates the not-yet-collected outputs of earlier `running` calls
+  * (truncated lineage cannot recompute) — it is an after-egress hygiene
+  * call, which is exactly how Bench/Verify sequence it per query.
   *
   * `boundedInput = true` is a caller hint that the frame is provably
   * small BY CONSTRUCTION (e.g. post-aggregation by calendar day: ≤ a few
@@ -72,6 +84,65 @@ object OrderStats {
     * the checkpointed-RDD output hides the exchange from its executedPlan.
     */
   private[graft] val invocations = new java.util.concurrent.atomic.AtomicLong
+
+  /** Registry of the localCheckpoint RDDs this operator materialized,
+    * weakly referenced so an abandoned handle still becomes eligible for
+    * the ContextCleaner's GC-driven unpersist. See the scaladoc's
+    * "Checkpoint LIFECYCLE" note.
+    */
+  private val checkpoints = new java.util.concurrent.ConcurrentLinkedQueue[
+    (org.apache.spark.SparkContext,
+      java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]])]
+
+  private def registerCheckpoint(ckpt: DataFrame): Unit =
+    ckpt.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach { rdd =>
+      checkpoints.add((ckpt.sparkSession.sparkContext,
+        new java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]](rdd)))
+    }
+
+  /** How many of this operator's checkpoints still hold blocks for the
+    * session's context.
+    */
+  def pinnedCheckpointCount(
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    var n = 0
+    checkpoints.forEach { case (sc, ref) =>
+      val rdd = ref.get()
+      if ((sc eq spark.sparkContext) && rdd != null &&
+        rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        n += 1
+    }
+    n
+  }
+
+  /** Unpersist every checkpoint this operator materialized for the
+    * session's context, releasing the pinned blocks. Call AFTER egress:
+    * earlier `running` outputs that were never collected cannot
+    * recompute past their truncated lineage. Returns the number of
+    * checkpoints released. `blocking = true` waits for block removal
+    * (deterministic for tests; the default mirrors Spark's async
+    * unpersist).
+    */
+  def releaseCheckpoints(spark: org.apache.spark.sql.SparkSession,
+      blocking: Boolean = false): Int = {
+    var n = 0
+    val it = checkpoints.iterator()
+    while (it.hasNext) {
+      val (sc, ref) = it.next()
+      val rdd = ref.get()
+      if (rdd == null) it.remove()
+      else if (sc eq spark.sparkContext) {
+        if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+          rdd.unpersist(blocking)
+          n += 1
+        }
+        it.remove()
+      }
+    }
+    n
+  }
 
   /** Executor-side prefix state for one partition: replays the first-level
     * running statistics row by row. Constructed INSIDE mapPartitions from
@@ -180,6 +251,7 @@ object OrderStats {
     val base =
       if (boundedInput) df.repartition(1) else df.repartitionByRange(sort: _*)
     val sorted = base.sortWithinPartitions(sort: _*).localCheckpoint()
+    registerCheckpoint(sorted)
     val schema = sorted.schema
     def idxOf(cols: Seq[String]) = cols.map { in =>
       require(schema(in).dataType == LongType, s"$in must be LongType")

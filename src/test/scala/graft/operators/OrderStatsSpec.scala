@@ -102,6 +102,28 @@ class OrderStatsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", before)
   }
 
+  test("releaseCheckpoints drops every block a chained query pinned") {
+    // Baseline: release anything earlier tests in this shared session
+    // left behind, so the counts below are this test's own.
+    OrderStats.releaseCheckpoints(spark, blocking = true)
+    assert(OrderStats.pinnedCheckpointCount(spark) == 0)
+    // A chained two-call query: second running() consumes the first's
+    // output, so two localCheckpoints materialize.
+    val first = OrderStats.running(df, Seq(col("k"), col("id")), Some("rn"),
+      Seq("v" -> "cum_v"))
+    val second = OrderStats.running(
+      first.select(col("id"), col("rn"), col("cum_v")),
+      Seq(col("cum_v"), col("id")), Some("rn2"))
+    val n = second.count()
+    assert(n == 997)
+    assert(OrderStats.pinnedCheckpointCount(spark) == 2)
+    // After egress: deterministic release, nothing left pinned by us.
+    assert(OrderStats.releaseCheckpoints(spark, blocking = true) == 2)
+    assert(OrderStats.pinnedCheckpointCount(spark) == 0)
+    // And the registry itself drained — a second release is a no-op.
+    assert(OrderStats.releaseCheckpoints(spark, blocking = true) == 0)
+  }
+
   test("neither path plans an unpartitioned window") {
     val plans = Seq(
       OrderStats.running(df, Seq(col("k")), Some("rn")),
