@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Extensions, Parity, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Pipeline6, Pipeline7, Pipeline8, Pipeline9, Pipeline10, Pipeline11, Pipeline12, Pipeline13, Pipeline14, Pipeline15, Pipeline16, Pipeline17, Pipeline18, Pipeline19, Pipeline20, Pipeline21, Pipeline22, Pipeline23, Pipeline24, Pipeline25, Pipeline26, Pipeline27, Pipeline28, Pipeline29, Pipeline30, Pipeline31, Pipeline32, Pipeline33, Pipeline34, Pipeline35, Pipeline36, Pipeline37, Pipeline38, Pipeline39, Pipeline40, Pipeline41, Pipeline42, Relational, Relational2, Relational3, Relational4}
+import graft.queries.{Extensions, Parity, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Pipeline6, Pipeline7, Pipeline8, Pipeline9, Pipeline10, Pipeline11, Pipeline12, Pipeline13, Pipeline14, Pipeline15, Pipeline16, Pipeline17, Pipeline18, Pipeline19, Pipeline20, Pipeline21, Pipeline22, Pipeline23, Pipeline24, Pipeline25, Pipeline26, Pipeline27, Pipeline28, Pipeline29, Pipeline30, Pipeline31, Pipeline32, Pipeline33, Pipeline34, Pipeline35, Pipeline36, Pipeline37, Pipeline38, Pipeline39, Pipeline40, Pipeline41, Pipeline42, Pipeline43, Relational, Relational2, Relational3, Relational4}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,7 @@ object SparkEntry {
       Pipeline23.queries ++ Pipeline24.queries ++ Pipeline25.queries ++ Pipeline26.queries ++
       Pipeline27.queries ++ Pipeline28.queries ++ Pipeline29.queries ++ Pipeline30.queries ++
       Pipeline31.queries ++ Pipeline32.queries ++ Pipeline33.queries ++
-      Pipeline34.queries ++ Pipeline35.queries ++ Pipeline36.queries ++ Pipeline37.queries ++ Pipeline38.queries ++ Pipeline39.queries ++ Pipeline40.queries ++ Pipeline41.queries ++ Pipeline42.queries ++
+      Pipeline34.queries ++ Pipeline35.queries ++ Pipeline36.queries ++ Pipeline37.queries ++ Pipeline38.queries ++ Pipeline39.queries ++ Pipeline40.queries ++ Pipeline41.queries ++ Pipeline42.queries ++ Pipeline43.queries ++
       Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,6 +47,6 @@ object SparkEntry {
       Pipeline23.oracle ++ Pipeline24.oracle ++ Pipeline25.oracle ++ Pipeline26.oracle ++
       Pipeline27.oracle ++ Pipeline28.oracle ++ Pipeline29.oracle ++ Pipeline30.oracle ++
       Pipeline31.oracle ++ Pipeline32.oracle ++ Pipeline33.oracle ++
-      Pipeline34.oracle ++ Pipeline35.oracle ++ Pipeline36.oracle ++ Pipeline37.oracle ++ Pipeline38.oracle ++ Pipeline39.oracle ++ Pipeline40.oracle ++ Pipeline41.oracle ++ Pipeline42.oracle ++
+      Pipeline34.oracle ++ Pipeline35.oracle ++ Pipeline36.oracle ++ Pipeline37.oracle ++ Pipeline38.oracle ++ Pipeline39.oracle ++ Pipeline40.oracle ++ Pipeline41.oracle ++ Pipeline42.oracle ++ Pipeline43.oracle ++
       Extensions.oracle
 }
