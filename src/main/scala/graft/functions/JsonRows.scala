@@ -94,4 +94,40 @@ object JsonRows {
     val names = prepared.columns
     prepared.collect().map(rowToJson(_, names)).mkString("[", ",", "]")
   }
+
+  /** Per-row JSON strings via `toLocalIterator`: driver memory is bounded
+    * by one PARTITION at a time instead of the whole result — the scale
+    * path for the reference's whole-table no-limit delays egress (quirk
+    * (e), main.rs:295-297), whose semantics demand the full sorted
+    * table. Iteration order is global order: a range-sorted frame's
+    * partitions arrive in ascending partition index, rows sorted within.
+    * The first `hasNext` executes partition 0's job, so most runtime
+    * failures surface BEFORE any byte is emitted.
+    */
+  def jsonRowIterator(df: DataFrame): Iterator[String] = {
+    val prepared = stringifyNonPrimitives(df)
+    val names = prepared.columns
+    import scala.jdk.CollectionConverters._
+    prepared.toLocalIterator().asScala.map(rowToJson(_, names))
+  }
+
+  /** Stream the JSON array to `os` (byte-identical to [[toJson]], golden-
+    * tested) without materializing it: one partition in driver memory at
+    * a time. Callers own closing `os`.
+    */
+  def writeJson(df: DataFrame, os: java.io.OutputStream): Unit = {
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8),
+      64 * 1024)
+    w.write("[")
+    val it = jsonRowIterator(df)
+    var first = true
+    while (it.hasNext) {
+      if (!first) w.write(",")
+      first = false
+      w.write(it.next())
+    }
+    w.write("]")
+    w.flush()
+  }
 }

@@ -131,8 +131,38 @@ final class HttpShell(spark: SparkSession, baseDir: String, port: Int = 3000) {
       case Some(other) => throw BadRequestException(s"invalid sorting: '$other'")
       case None => None
     }
-    respondJson(ex, 200,
-      JsonRows.toJson(SortedDelays.run(lake.load(id), sorting, intParam(q, "limit"))))
+    val df = SortedDelays.run(lake.load(id), sorting, intParam(q, "limit"))
+    // Reference semantics (quirk (e), main.rs:295-297): no limit means
+    // the WHOLE sorted table. Stream it — byte-identical body to the
+    // collect-based toJson (JsonRowsSpec golden test), but driver memory
+    // stays bounded by one partition via toLocalIterator, so this
+    // endpoint survives a 100× table. The iterator's first hasNext runs
+    // partition 0's job, so load/analysis/early-runtime errors still
+    // become a 500 BEFORE the 200 header; a failure later mid-stream can
+    // only truncate the chunked body (the standard streaming tradeoff —
+    // the client sees a malformed JSON tail, never a silent success).
+    val rows = JsonRows.jsonRowIterator(df)
+    val nonEmpty = rows.hasNext // may throw -> route()'s 500 path
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
+    val os = ex.getResponseBody
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(os, StandardCharsets.UTF_8), 64 * 1024)
+      w.write("[")
+      var first = true
+      while (rows.hasNext) {
+        if (!first) w.write(",")
+        first = false
+        w.write(rows.next())
+      }
+      w.write("]")
+      w.flush()
+    } catch {
+      case e: Throwable =>
+        // Headers are gone; surface the truncation loudly server-side.
+        System.err.println(s"[delays] mid-stream failure after 200: ${e.getMessage}")
+    } finally os.close()
   }
 
   /** Axum `Json<RegressionRequest>` extractor parity (main.rs:123-127,

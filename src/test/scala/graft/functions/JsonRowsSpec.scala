@@ -28,6 +28,27 @@ class JsonRowsSpec extends AnyFunSuite {
         """{"id":4,"ts":"2024-01-01 10:00:05.500"}]""")
   }
 
+  test("writeJson streams byte-identical output to toJson") {
+    // The chunked delays egress rides writeJson; parity with the
+    // collect-based path must hold byte for byte (quirk (e) semantics
+    // unchanged, only driver memory bounded). Multi-partition + sorted
+    // frame: partition order must reproduce global order.
+    val df = spark.range(0, 1000, 1, 7)
+      .selectExpr("id", "CAST(id % 3 AS DOUBLE) / 4 AS x",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE CONCAT('s\"', id) END AS s",
+        "DATE'2024-01-01' + CAST(id % 30 AS INT) AS d")
+      .orderBy($"x", $"id".desc)
+    val bos = new java.io.ByteArrayOutputStream()
+    JsonRows.writeJson(df, bos)
+    assert(bos.toString("UTF-8") === JsonRows.toJson(df))
+    // Empty frame → empty array, both paths.
+    val empty = df.filter($"id" < 0)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    JsonRows.writeJson(empty, bos2)
+    assert(bos2.toString("UTF-8") === "[]")
+    assert(JsonRows.toJson(empty) === "[]")
+  }
+
   test("primitives pass through; null → JSON null (main.rs:223-242)") {
     val df = Seq((1L, 2.5, true, "hi"), (2L, 3.5, false, null))
       .toDF("n", "d", "b", "s")

@@ -15,7 +15,7 @@ class HttpShellSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private lazy val client = HttpClient.newHttpClient()
 
-  private lazy val (shell, port, outsideId) = {
+  private lazy val (shell, port, outsideId, lakeDir) = {
     val dir = Files.createTempDirectory("lake").toString
     Files.writeString(Paths.get(dir, "trains.csv"),
       """train_id,departure_delay,arrival_delay,distance_km
@@ -34,7 +34,7 @@ class HttpShellSpec extends AnyFunSuite {
     val outside = Files.createTempDirectory("outside")
     Files.writeString(outside.resolve("secret.csv"), "s\nTOPSECRET\n")
     val s = new HttpShell(spark, dir, port = 0) // ephemeral port
-    (s, s.start(), s"..%2F${outside.getFileName}%2Fsecret")
+    (s, s.start(), s"..%2F${outside.getFileName}%2Fsecret", dir)
   }
 
   private def get(path: String): HttpResponse[String] =
@@ -92,6 +92,27 @@ class HttpShellSpec extends AnyFunSuite {
     val order = """"train_id":"([^"]+)"""".r
       .findAllMatchIn(r.body()).map(_.group(1)).toSeq
     assert(order === Seq("ICE 2", "ICE 1", "ICE 3"))
+  }
+
+  test("no-limit delays streams the WHOLE table byte-identical to collect") {
+    // Quirk (e): no limit = full sorted table. The endpoint now streams
+    // chunked via toLocalIterator (bounded driver memory at any table
+    // size); the body must equal the collect-based rendering exactly.
+    import graft.functions.JsonRows
+    import graft.operators.SortedDelays
+    import graft.sources.DataLake
+    for (q <- Seq("", "?sorting=Desc", "?sorting=Asc")) {
+      val r = get(s"/data/trains/delays$q")
+      assert(r.statusCode() === 200)
+      val sorting = q match {
+        case "?sorting=Desc" => Some(SortedDelays.Desc)
+        case "?sorting=Asc" => Some(SortedDelays.Asc)
+        case _ => None
+      }
+      val want = JsonRows.toJson(SortedDelays.run(
+        new DataLake(spark, lakeDir).load("trains"), sorting, None))
+      assert(r.body() === want, s"streamed body must match collect path for '$q'")
+    }
   }
 
   test("delays on dataset without delay columns → 400 (main.rs:271-274)") {
