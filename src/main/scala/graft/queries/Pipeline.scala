@@ -83,8 +83,13 @@ object Pipeline {
           size(split(col("text"), " ")).cast("long").as("n_words"),
           size(regexp_extract_all(col("text"), lit("[aeiou]"), lit(0)))
             .cast("long").as("n_vowels"),
-          (size(regexp_extract_all(col("text"), lit("[a-z]"), lit(0))).cast("double") /
-            length(col("text")).cast("double")).as("alpha_ratio"),
+          // Empty documents exist in any real corpus: an unguarded
+          // division crashes under ANSI mode (found by FuzzCatalogSpec,
+          // round 7). alpha_ratio of nothing is NULL, mirrored in SQL.
+          when(length(col("text")) === 0, lit(null).cast("double"))
+            .otherwise(
+              size(regexp_extract_all(col("text"), lit("[a-z]"), lit(0))).cast("double") /
+                length(col("text")).cast("double")).as("alpha_ratio"),
           (length(col("text")) < 100).as("is_short"))
         .orderBy(col("doc_id"))
     },
@@ -237,8 +242,9 @@ object Pipeline {
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
         |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[aeiou]')) AS BIGINT) AS n_vowels,
-        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]')) AS DOUBLE)
-        |    / CAST(LENGTH(text) AS DOUBLE) AS alpha_ratio,
+        |  CASE WHEN LENGTH(text) = 0 THEN NULL
+        |    ELSE CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]')) AS DOUBLE)
+        |      / CAST(LENGTH(text) AS DOUBLE) END AS alpha_ratio,
         |  LENGTH(text) < 100 AS is_short
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
