@@ -117,6 +117,89 @@ class StreamsSpec extends AnyFunSuite {
     assert(back.select("event_id").distinct().count() === 3)
   }
 
+  test("exactly-once windowed aggregation across a mid-stream kill/restart") {
+    // End-to-end: eventsStream → watermarked tumbling window → parquet
+    // sink in APPEND mode, killed while unflushed window state is held,
+    // restarted from the checkpoint, then compared window-for-window to
+    // a BATCH replay of the same files. Asserts the full exactly-once
+    // triangle: no duplicate windows, no lost windows, and cross-restart
+    // state merge (a window fed by pre-kill AND post-restart events must
+    // emit ONE row with the merged totals).
+    val src = Files.createTempDirectory("eo_src").toString
+    val out = Files.createTempDirectory("eo_out").toString
+    val chk = Files.createTempDirectory("eo_chk").toString
+    val min = 60_000_000_000L // one minute in nanos
+    def write(rows: Seq[(Long, Long, Double)]): Unit =
+      rows.map { case (id, t, v) => (id, t, 10L, "click", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(src)
+    def run() = Streams.windowedCounts(
+        Streams.eventsStream(spark, src), "10 minutes", "5 minutes")
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out).option("checkpointLocation", chk)
+      .start()
+
+    // Batch A: three early windows + one event at minute 40 (also the
+    // seed of a window that batch B will extend across the restart).
+    // After this single trigger the watermark is 40−10=30min, but the
+    // finalized windows only flush on the NEXT trigger — which never
+    // comes before the kill. The kill point therefore holds all four
+    // windows as unflushed state.
+    write(Seq((1L, 0L, 1.0), (2L, 2 * min, 2.0), (3L, 6 * min, 0.5),
+      (4L, 11 * min, 4.0), (5L, 40 * min, 1.5)))
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // Batch B lands while the query is DOWN: more events into the
+    // minute-40 window (cross-restart merge) plus a sentinel at minute
+    // 70 that advances the watermark to 60 on the restart's first
+    // trigger. Batch C then forces the follow-up trigger that flushes
+    // everything ending ≤ 60.
+    write(Seq((6L, 41 * min, 2.0), (7L, 44 * min, 0.5), (8L, 70 * min, 8.0)))
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      write(Seq((9L, 100 * min, 16.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(out)
+      .select("w_start", "event_type", "n", "total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+    // No duplicate windows (the append sink saw each finalized window once).
+    assert(got.map(r => (r._1, r._2)).distinct.size === got.size,
+      s"duplicate windows after restart: $got")
+    // Batch replay of the SAME files. Two bounds bracket the
+    // trigger-count variance (how many follow-up triggers fired before
+    // stop decides whether the minute-70 window flushed):
+    //  - every emitted window must match the batch replay EXACTLY
+    //    (⊆ windows ending before the max possible watermark, 90 min);
+    //  - every window the stream provably finalized (ending ≤ the 60-min
+    //    watermark established before the last emitting trigger) must be
+    //    present — nothing lost across the kill.
+    // Values are binary-exact doubles, so sums are order-independent
+    // across the streaming/batch partial-agg orders.
+    val batch = spark.read.parquet(src)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    def replayUpTo(minutes: Int): Set[(java.sql.Timestamp, String, Long, Double)] =
+      Streams.windowedCounts(batch, "10 minutes", "5 minutes")
+        .filter(org.apache.spark.sql.functions.col("w_end") <=
+          ts(minutes.toLong * 60 * 1000))
+        .select("w_start", "event_type", "n", "total_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val maxPossible = replayUpTo(90)
+    val required = replayUpTo(60)
+    assert(got.toSet.subsetOf(maxPossible),
+      s"stream emitted a window the batch replay disowns:\n got=$got\n max=$maxPossible")
+    assert(required.subsetOf(got.toSet),
+      s"finalized window lost across the restart:\n got=$got\n required=$required")
+    // The merged minute-40 window carries events from BOTH sides of the
+    // restart: 1.5 (pre-kill) + 2.0 + 0.5 (post-restart) in one row.
+    assert(got.exists(r => r._3 == 3L && r._4 == 4.0),
+      s"cross-restart window must merge to n=3 total=4.0: $got")
+  }
+
   test("dedupWithinWatermark collapses retries that re-stamp the timestamp") {
     val dir = Files.createTempDirectory("events2b").toString
     Seq(
