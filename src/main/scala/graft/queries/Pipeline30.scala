@@ -122,10 +122,12 @@ object Pipeline30 {
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       val ranked = OrderStats.running(daily, Seq(col("day")), Some("rn"),
         boundedInput = true)
+      // Daily-cents squares sum to ~3e19 at sf0.1 — past the ~2^63
+      // mirrored-conversion limit; hi/lo split (round-7 sweep class).
       val tot = daily.agg(count(lit(1)).cast("long").as("n"),
           sum(dec(col("cents"), 38, 0)).cast("double").as("sc"),
-          sum(dec(col("cents"), 38, 0) * dec(col("cents"), 38, 0))
-            .cast("double").as("ssc"))
+          sum(dec(col("cents"), 38, 0) * dec(col("cents"), 38, 0)).as("ssc0"))
+        .withColumn("ssc", dblBig("ssc0"))
         .withColumn("mean_all", col("sc") / col("n").cast("double"))
         .withColumn("sd_all", sqrt(col("ssc") / col("n").cast("double") -
           col("mean_all") * col("mean_all")))
@@ -238,17 +240,17 @@ object Pipeline30 {
         |  CAST(SUM(term) AS DOUBLE) AS entropy_nats
         |FROM terms GROUP BY col_name ORDER BY col_name""".stripMargin,
     "q_sax_symbols" ->
-      """WITH d AS (SELECT o_orderdate AS day,
+      s"""WITH d AS (SELECT o_orderdate AS day,
         |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |      AS cents
         |  FROM orders GROUP BY 1),
         |r AS (SELECT day, cents,
         |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn FROM d),
-        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |tot0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sc,
-        |    CAST(SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
-        |      AS DOUBLE) AS ssc
+        |    SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ssc0
         |  FROM d),
+        |tot AS (SELECT n, sc, ${dblBigSql("ssc0")} AS ssc FROM tot0),
         |tm AS (SELECT n, sc, ssc, sc / CAST(n AS DOUBLE) AS mean_all,
         |    SQRT(ssc / CAST(n AS DOUBLE)
         |      - (sc / CAST(n AS DOUBLE)) * (sc / CAST(n AS DOUBLE))) AS sd_all

@@ -313,8 +313,10 @@ object Pipeline31 {
         .withColumn("denom2", dec(col("w"), 38, 0) * col("q2") -
           dec(col("ssum"), 38, 0) * dec(col("ssum"), 38, 0))
         .filter(col("denom2") > 0)
+        // denom2 (w·Σc² − (Σc)²) passes ~2^63 at sf1 — mirrored hi/lo
+        // conversion before the double sqrt (round-7 sweep class).
         .withColumn("lr", log(col("rsc").cast("double") /
-          sqrt(col("denom2").cast("double"))).cast(DecimalType(10, 5)))
+          sqrt(dblBig("denom2"))).cast(DecimalType(10, 5)))
       val perW = segs.groupBy(col("w"))
         .agg(count(lit(1)).cast("long").as("n_segments"),
           (sum(col("lr")).cast("double") / count(lit(1)).cast("double"))
@@ -513,7 +515,7 @@ object Pipeline31 {
         |FROM dcg LEFT JOIN idcg ON idcg.query_id = dcg.query_id
         |ORDER BY dcg.query_id""".stripMargin,
     "q_hurst_rs" ->
-      """WITH d AS (SELECT o_orderdate AS day,
+      s"""WITH d AS (SELECT o_orderdate AS day,
         |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |      AS cents
         |  FROM orders GROUP BY 1),
@@ -542,7 +544,7 @@ object Pipeline31 {
         |      - CAST(ssum AS HUGEINT) * CAST(ssum AS HUGEINT) AS denom2
         |  FROM h),
         |terms AS (SELECT w,
-        |    CAST(LN(CAST(rsc AS DOUBLE) / SQRT(CAST(denom2 AS DOUBLE)))
+        |    CAST(LN(CAST(rsc AS DOUBLE) / SQRT(${dblBigSql("denom2")}))
         |      AS DECIMAL(10,5)) AS lr
         |  FROM i WHERE denom2 > 0),
         |pw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_segments,

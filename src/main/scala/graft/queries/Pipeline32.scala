@@ -163,10 +163,12 @@ object Pipeline32 {
           .cast("long").as("m"), col("o_orderdate"))
         .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"))
       val mx = daily.groupBy(col("m")).agg(max(col("cents")).as("mx"))
+      // Monthly-max-cents squares pass ~2^63 at sf1 — mirrored hi/lo
+      // conversion (round-7 sweep class).
       mx.agg(count(lit(1)).cast("long").as("n_months"),
           sum(dec(col("mx"), 38, 0)).cast("double").as("sx"),
-          sum(dec(col("mx"), 38, 0) * dec(col("mx"), 38, 0))
-            .cast("double").as("sxx"))
+          sum(dec(col("mx"), 38, 0) * dec(col("mx"), 38, 0)).as("sxx0"))
+        .withColumn("sxx", dblBig("sxx0"))
         .withColumn("mean_max", col("sx") / col("n_months").cast("double"))
         .withColumn("sd_max", sqrt(
           (col("sxx") - col("sx") * col("sx") / col("n_months").cast("double")) /
@@ -320,17 +322,17 @@ object Pipeline32 {
         |    / CAST(COUNT(*) AS DOUBLE)) AS tail_alpha
         |FROM terms GROUP BY x_ref""".stripMargin,
     "q_block_maxima" ->
-      """WITH d AS (SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+      s"""WITH d AS (SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
         |      AS BIGINT) AS m, o_orderdate,
         |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |      AS cents
         |  FROM orders GROUP BY 1, 2),
         |mx AS (SELECT m, MAX(cents) AS mx FROM d GROUP BY 1),
-        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+        |a0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
         |    CAST(SUM(CAST(mx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(mx AS DECIMAL(38,0)) * CAST(mx AS DECIMAL(38,0)))
-        |      AS DOUBLE) AS sxx
+        |    SUM(CAST(mx AS HUGEINT) * CAST(mx AS HUGEINT)) AS sxx0
         |  FROM mx),
+        |a AS (SELECT n_months, sx, ${dblBigSql("sxx0")} AS sxx FROM a0),
         |b AS (SELECT n_months, sx / CAST(n_months AS DOUBLE) AS mean_max,
         |    SQRT((sxx - sx * sx / CAST(n_months AS DOUBLE))
         |      / CAST(n_months - 1 AS DOUBLE)) AS sd_max

@@ -113,8 +113,10 @@ object Pipeline33 {
         .select(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
         .agg(count(lit(1)).cast("long").as("n_obs"),
           sum(dec(col("cents"), 38, 0)).cast("double").as("sx"),
-          sum(dec(col("cents"), 38, 0) * dec(col("cents"), 38, 0))
-            .cast("double").as("sxx"))
+          // cents-squared sums pass 2^63 at sf0.1 — mirrored hi/lo
+          // conversion (proactive, same class the sf0.1 sweep flagged).
+          sum(dec(col("cents"), 38, 0) * dec(col("cents"), 38, 0)).as("sxx0"))
+        .withColumn("sxx", dblBig("sxx0"))
         .withColumn("mean_cents", col("sx") / col("n_obs").cast("double"))
         .withColumn("var_cents", col("sxx") / col("n_obs").cast("double") -
           col("mean_cents") * col("mean_cents"))
@@ -142,12 +144,18 @@ object Pipeline33 {
           sum(dec(col("x"), 38, 0)).cast("double").as("sx"),
           sum(dec(col("y"), 38, 0)).cast("double").as("sy"),
           sum(dec(col("z"), 38, 0)).cast("double").as("sz"),
-          sum(dec(col("x"), 38, 0) * dec(col("y"), 38, 0)).cast("double").as("sxy"),
-          sum(dec(col("x"), 38, 0) * dec(col("z"), 38, 0)).cast("double").as("sxz"),
-          sum(dec(col("y"), 38, 0) * dec(col("z"), 38, 0)).cast("double").as("syz"),
-          sum(dec(col("x"), 38, 0) * dec(col("x"), 38, 0)).cast("double").as("sxx"),
-          sum(dec(col("y"), 38, 0) * dec(col("y"), 38, 0)).cast("double").as("syy"),
-          sum(dec(col("z"), 38, 0) * dec(col("z"), 38, 0)).cast("double").as("szz"))
+          // Product sums (cents x cents reaches ~6e19 at sf0.1) convert
+          // via the mirrored hi/lo split — past ~2^63 a bare double cast
+          // diverges between engines (sf0.1 sweep, round 7).
+          sum(dec(col("x"), 38, 0) * dec(col("y"), 38, 0)).as("sxy0"),
+          sum(dec(col("x"), 38, 0) * dec(col("z"), 38, 0)).as("sxz0"),
+          sum(dec(col("y"), 38, 0) * dec(col("z"), 38, 0)).as("syz0"),
+          sum(dec(col("x"), 38, 0) * dec(col("x"), 38, 0)).as("sxx0"),
+          sum(dec(col("y"), 38, 0) * dec(col("y"), 38, 0)).as("syy0"),
+          sum(dec(col("z"), 38, 0) * dec(col("z"), 38, 0)).as("szz0"))
+        .withColumn("sxy", dblBig("sxy0")).withColumn("sxz", dblBig("sxz0"))
+        .withColumn("syz", dblBig("syz0")).withColumn("sxx", dblBig("sxx0"))
+        .withColumn("syy", dblBig("syy0")).withColumn("szz", dblBig("szz0"))
       def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
         (col("n").cast("double") * col(sab) - col(sa) * col(sb)) /
           sqrt((col("n").cast("double") * col(saa) - col(sa) * col(sa)) *
@@ -301,14 +309,14 @@ object Pipeline33 {
         |  CAST(m_bits AS DOUBLE) / CAST(n_keys AS DOUBLE) AS bits_per_key
         |FROM s ORDER BY target_fpr DESC""".stripMargin,
     "q_power_analysis" ->
-      """WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+      s"""WITH m0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
         |    CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
         |      AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
-        |        AS DECIMAL(38,0))
-        |      * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
-        |        AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+        |    SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+        |      * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+        |      AS sxx0
         |  FROM orders),
+        |m AS (SELECT n_obs, sx, ${dblBigSql("sxx0")} AS sxx FROM m0),
         |v AS (SELECT n_obs, sx / CAST(n_obs AS DOUBLE) AS mean_cents,
         |    sxx / CAST(n_obs AS DOUBLE)
         |      - (sx / CAST(n_obs AS DOUBLE)) * (sx / CAST(n_obs AS DOUBLE))
@@ -323,21 +331,26 @@ object Pipeline33 {
         |    AS BIGINT) AS n_per_arm
         |FROM v, g ORDER BY lift_frac""".stripMargin,
     "q_partial_corr" ->
-      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+      s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
         |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
         |    CAST(ROUND(l_discount * 100) AS BIGINT) AS z
         |  FROM lineitem),
-        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |m0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
         |    CAST(SUM(CAST(z AS HUGEINT)) AS DOUBLE) AS sz,
-        |    CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(x AS HUGEINT) * CAST(z AS HUGEINT)) AS DOUBLE) AS sxz,
-        |    CAST(SUM(CAST(y AS HUGEINT) * CAST(z AS HUGEINT)) AS DOUBLE) AS syz,
-        |    CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy,
-        |    CAST(SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS DOUBLE) AS szz
+        |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy0,
+        |    SUM(CAST(x AS HUGEINT) * CAST(z AS HUGEINT)) AS sxz0,
+        |    SUM(CAST(y AS HUGEINT) * CAST(z AS HUGEINT)) AS syz0,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx0,
+        |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy0,
+        |    SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz0
         |  FROM b),
+        |m AS (SELECT n, sx, sy, sz, ${dblBigSql("sxy0")} AS sxy,
+        |    ${dblBigSql("sxz0")} AS sxz, ${dblBigSql("syz0")} AS syz,
+        |    ${dblBigSql("sxx0")} AS sxx, ${dblBigSql("syy0")} AS syy,
+        |    ${dblBigSql("szz0")} AS szz
+        |  FROM m0),
         |r AS (SELECT n,
         |    (CAST(n AS DOUBLE) * sxy - sx * sy)
         |      / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)

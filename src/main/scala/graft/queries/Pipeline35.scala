@@ -114,12 +114,18 @@ object Pipeline35 {
           log(col("cents").cast("double") / col("qty").cast("double"))
             .cast(DecimalType(10, 5)).as("x"),
           log(col("qty").cast("double")).cast(DecimalType(10, 5)).as("y"))
+      // Product sums are DECIMAL(*,10) whose unscaled value passes 2^53
+      // at sf0.1 — the scaled-decimal cross-engine limit. dblBigScaled
+      // rescales to an exact integer, converts via the mirrored hi/lo
+      // split, and divides back (sf0.1 sweep, round 7).
       pts.groupBy(col("p_brand"))
         .agg(count(lit(1)).cast("long").as("n_points"),
           sum(col("x")).cast("double").as("sx"),
           sum(col("y")).cast("double").as("sy"),
-          sum(col("x") * col("y")).cast("double").as("sxy"),
-          sum(col("x") * col("x")).cast("double").as("sxx"))
+          sum(col("x") * col("y")).as("sxy0"),
+          sum(col("x") * col("x")).as("sxx0"))
+        .withColumn("sxy", dblBigScaled("sxy0", 10))
+        .withColumn("sxx", dblBigScaled("sxx0", 10))
         .withColumn("elasticity",
           (col("n_points").cast("double") * col("sxy") - col("sx") * col("sy")) /
             (col("n_points").cast("double") * col("sxx") - col("sx") * col("sx")))
@@ -227,7 +233,7 @@ object Pipeline35 {
         |  mean_lines / var_lines AS nbd_p
         |FROM b""".stripMargin,
     "q_price_elasticity" ->
-      """WITH mp AS (SELECT l_partkey,
+      s"""WITH mp AS (SELECT l_partkey,
         |    CAST(YEAR(l_shipdate) * 12 + MONTH(l_shipdate) AS BIGINT) AS m,
         |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
         |      AS cents,
@@ -238,11 +244,14 @@ object Pipeline35 {
         |      AS DECIMAL(10,5)) AS x,
         |    CAST(LN(CAST(qty AS DOUBLE)) AS DECIMAL(10,5)) AS y
         |  FROM mp JOIN part ON p_partkey = mp.l_partkey),
-        |a AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |a0 AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_points,
         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
-        |    CAST(SUM(x * x) AS DOUBLE) AS sxx
-        |  FROM pts GROUP BY 1)
+        |    SUM(x * y) AS sxy0, SUM(x * x) AS sxx0
+        |  FROM pts GROUP BY 1),
+        |a AS (SELECT p_brand, n_points, sx, sy,
+        |    ${dblBigScaledSql("sxy0", 10)} AS sxy,
+        |    ${dblBigScaledSql("sxx0", 10)} AS sxx
+        |  FROM a0)
         |SELECT p_brand, n_points,
         |  (CAST(n_points AS DOUBLE) * sxy - sx * sy)
         |    / (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS elasticity,

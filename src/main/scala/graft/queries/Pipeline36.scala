@@ -58,12 +58,18 @@ object Pipeline36 {
     // exact raw moments — the tail-shape audit beyond mean/variance.
     "q_higher_moments" -> { (s, dir) =>
       val c = dec(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"), 38, 0)
+      // Power sums reach 1e20 (s2) / 1e36 (s4): far past the ~2^63 limit
+      // where a bare decimal→double cast converts identically in both
+      // engines — dblBig splits hi/lo so the conversion is mirrored
+      // (caught by the sf0.1 sweep, round 7).
       t(s, dir, "orders")
         .agg(count(lit(1)).cast("long").as("n"),
           sum(c).cast("double").as("s1"),
-          sum(c * c).cast("double").as("s2"),
-          sum(c * c * c).cast("double").as("s3"),
-          sum(c * c * c * c).cast("double").as("s4"))
+          sum(c * c).as("s2x"), sum(c * c * c).as("s3x"),
+          sum(c * c * c * c).as("s4x"))
+        .withColumn("s2", dblBig("s2x"))
+        .withColumn("s3", dblBig("s3x"))
+        .withColumn("s4", dblBig("s4x"))
         .withColumn("mu", col("s1") / col("n").cast("double"))
         .withColumn("m2", col("s2") / col("n").cast("double") -
           col("mu") * col("mu"))
@@ -94,11 +100,16 @@ object Pipeline36 {
       val pairs = st.as("a")
         .join(st.as("b"), col("b.rn") === col("a.rn") + 1)
         .select(col("a.cents").as("x"), col("b.cents").as("y"))
+      // Daily-cents products reach ~2.5e19 at sf0.1 — past the ~2^63
+      // mirrored-conversion limit; hi/lo split keeps both engines
+      // identical (proactive, same class the sf0.1 sweep flagged).
       pairs.agg(count(lit(1)).cast("long").as("n_pairs"),
           sum(dec(col("x"), 38, 0)).cast("double").as("sx"),
           sum(dec(col("y"), 38, 0)).cast("double").as("sy"),
-          sum(dec(col("x"), 38, 0) * dec(col("y"), 38, 0)).cast("double").as("sxy"),
-          sum(dec(col("x"), 38, 0) * dec(col("x"), 38, 0)).cast("double").as("sxx"))
+          sum(dec(col("x"), 38, 0) * dec(col("y"), 38, 0)).as("sxy0"),
+          sum(dec(col("x"), 38, 0) * dec(col("x"), 38, 0)).as("sxx0"))
+        .withColumn("sxy", dblBig("sxy0"))
+        .withColumn("sxx", dblBig("sxx0"))
         .withColumn("phi",
           (col("n_pairs").cast("double") * col("sxy") - col("sx") * col("sy")) /
             (col("n_pairs").cast("double") * col("sxx") - col("sx") * col("sx")))
@@ -160,9 +171,11 @@ object Pipeline36 {
           sum(dec(col("cents"), 38, 0)).cast(DecimalType(38, 0)).as("sx"),
           sum(dec(col("i"), 38, 0) * dec(col("cents"), 38, 0))
             .cast(DecimalType(38, 0)).as("six"))
+        // rank-weighted sums pass ~2^63 past sf100 — mirrored hi/lo
+        // conversion keeps the gini identical cross-engine at any SF.
         .withColumn("gini",
-          lit(2.0) * col("six").cast("double") /
-            (col("n_orders").cast("double") * col("sx").cast("double")) -
+          lit(2.0) * dblBig("six") /
+            (col("n_orders").cast("double") * dblBig("sx")) -
             (col("n_orders") + 1).cast("double") / col("n_orders").cast("double"))
         .select(col("m"), col("n_orders"), col("gini"))
         .orderBy(col("m"))
@@ -215,15 +228,17 @@ object Pipeline36 {
         |  (treated_post - treated_pre) - (control_post - control_pre) AS did
         |FROM w""".stripMargin,
     "q_higher_moments" ->
-      """WITH b AS (SELECT CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      s"""WITH b AS (SELECT CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
         |      AS HUGEINT) AS c
         |  FROM orders),
-        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |ax AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(c) AS DOUBLE) AS s1,
-        |    CAST(SUM(c * c) AS DOUBLE) AS s2,
-        |    CAST(SUM(c * c * c) AS DOUBLE) AS s3,
-        |    CAST(SUM(c * c * c * c) AS DOUBLE) AS s4
+        |    SUM(c * c) AS s2x, SUM(c * c * c) AS s3x,
+        |    SUM(c * c * c * c) AS s4x
         |  FROM b),
+        |a AS (SELECT n, s1, ${dblBigSql("s2x")} AS s2,
+        |    ${dblBigSql("s3x")} AS s3, ${dblBigSql("s4x")} AS s4
+        |  FROM ax),
         |m AS (SELECT n, s1 / CAST(n AS DOUBLE) AS mu,
         |    s2 / CAST(n AS DOUBLE) AS r2, s3 / CAST(n AS DOUBLE) AS r3,
         |    s4 / CAST(n AS DOUBLE) AS r4
@@ -237,7 +252,7 @@ object Pipeline36 {
         |  m4 / (m2 * m2) - 3.0 AS excess_kurtosis
         |FROM cm""".stripMargin,
     "q_mean_reversion" ->
-      """WITH d AS (SELECT o_orderdate AS day,
+      s"""WITH d AS (SELECT o_orderdate AS day,
         |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |      AS cents
         |  FROM orders GROUP BY 1),
@@ -246,14 +261,15 @@ object Pipeline36 {
         |  FROM d),
         |p AS (SELECT a.cents AS x, b.cents AS y
         |  FROM r a JOIN r b ON b.rn = a.rn + 1),
-        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |a0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
-        |      AS sxy,
-        |    CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE)
-        |      AS sxx
+        |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy0,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx0
         |  FROM p),
+        |a AS (SELECT n_pairs, sx, sy, ${dblBigSql("sxy0")} AS sxy,
+        |    ${dblBigSql("sxx0")} AS sxx
+        |  FROM a0),
         |f AS (SELECT n_pairs,
         |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
         |      / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) AS phi, sx, sy
@@ -289,7 +305,7 @@ object Pipeline36 {
         |  CAST(GREATEST(MAX(d_plus), MAX(d_minus)) AS DOUBLE) AS ks_stat
         |FROM dv GROUP BY n, sg""".stripMargin,
     "q_gini_monthly" ->
-      """WITH o AS (SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+      s"""WITH o AS (SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
         |      AS BIGINT) AS m, o_orderkey,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders),
@@ -302,8 +318,8 @@ object Pipeline36 {
         |      AS six
         |  FROM r GROUP BY 1)
         |SELECT m, n_orders,
-        |  2.0 * CAST(six AS DOUBLE)
-        |    / (CAST(n_orders AS DOUBLE) * CAST(sx AS DOUBLE))
+        |  2.0 * ${dblBigSql("six")}
+        |    / (CAST(n_orders AS DOUBLE) * ${dblBigSql("sx")})
         |    - CAST(n_orders + 1 AS DOUBLE) / CAST(n_orders AS DOUBLE) AS gini
         |FROM a ORDER BY m""".stripMargin,
     "q_lognormal_fit" ->

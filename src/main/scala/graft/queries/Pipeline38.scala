@@ -42,14 +42,22 @@ object Pipeline38 {
         .withColumn("w",
           pow(lit(2.0), -(col("conv_us") - col("us")).cast("double") /
             lit(7.0 * 86400000000L)))
+        // ROUND(double·1e10)→long instead of CAST(double AS DECIMAL):
+        // the decimal cast rounds the double's STRING repr in Spark but
+        // its BINARY expansion in DuckDB, and at sf0.1 one row landed on
+        // a boundary where they disagree (sweep, round 7). Rounding the
+        // shared double product to integer units is identical in both.
+        .withColumn("w_u", expr("CAST(ROUND(w * 1e10) AS BIGINT)"))
       val totals = touches.groupBy(col("conv_id"))
-        .agg(sum(col("w").cast(DecimalType(18, 10))).as("w_tot"))
+        .agg(sum(dec(col("w_u"), 38, 0)).cast("double").as("w_tot_u"))
       touches.join(totals, Seq("conv_id"))
-        .withColumn("credit",
-          (col("w") / col("w_tot").cast("double")).cast(DecimalType(18, 10)))
+        .withColumn("credit_u",
+          expr("CAST(ROUND(w / (w_tot_u / 1e10) * 1e10) AS BIGINT)"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).cast("long").as("n_touches"),
-          sum(col("credit")).cast("double").as("credit"))
+          sum(dec(col("credit_u"), 38, 0)).as("cu"))
+        .withColumn("credit", dblBig("cu") / lit(1e10))
+        .select(col("event_type"), col("n_touches"), col("credit"))
         .orderBy(col("event_type"))
     },
 
@@ -116,23 +124,28 @@ object Pipeline38 {
 
   val oracle: Map[String, String] = Map(
     "q_time_decay_attribution" ->
-      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
         |  FROM events),
         |conv AS (SELECT user_id, event_id AS conv_id, us AS conv_us
         |  FROM ev WHERE event_type = 'purchase'),
         |touches AS (SELECT e.event_type, conv.conv_id,
+        |    CAST(ROUND(POW(2.0, -CAST(conv.conv_us - e.us AS DOUBLE)
+        |      / 604800000000.0) * 1e10) AS BIGINT) AS w_u,
         |    POW(2.0, -CAST(conv.conv_us - e.us AS DOUBLE)
         |      / 604800000000.0) AS w
         |  FROM ev e JOIN conv ON conv.user_id = e.user_id
         |  WHERE e.event_type <> 'purchase' AND e.us < conv.conv_us
         |    AND e.us >= conv.conv_us - 2592000000000),
-        |tt AS (SELECT conv_id, SUM(CAST(w AS DECIMAL(18,10))) AS w_tot
-        |  FROM touches GROUP BY 1)
-        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
-        |  CAST(SUM(CAST(w / CAST(w_tot AS DOUBLE) AS DECIMAL(18,10)))
-        |    AS DOUBLE) AS credit
-        |FROM touches JOIN tt ON tt.conv_id = touches.conv_id
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |tt AS (SELECT conv_id, CAST(SUM(w_u) AS DOUBLE) AS w_tot_u
+        |  FROM touches GROUP BY 1),
+        |cr AS (SELECT event_type,
+        |    CAST(ROUND(w / (w_tot_u / 1e10) * 1e10) AS BIGINT) AS credit_u
+        |  FROM touches JOIN tt ON tt.conv_id = touches.conv_id),
+        |ag AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |    SUM(CAST(credit_u AS HUGEINT)) AS cu
+        |  FROM cr GROUP BY 1)
+        |SELECT event_type, n_touches, ${dblBigSql("cu")} / 1e10 AS credit
+        |FROM ag ORDER BY event_type""".stripMargin,
     "q_vocab_coverage" ->
       s"""WITH ${Pipeline.shinglesSql},
         |cf AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS c

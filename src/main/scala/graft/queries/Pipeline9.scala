@@ -171,14 +171,18 @@ object Pipeline9 {
     // both engines.
     "q_ab_ttest" -> { (s, dir) =>
       val ev = t(s, dir, "events").filter(col("value").isNotNull)
-      val vdec = col("value").cast(DecimalType(18, 6))
+      // Exact integer cents (values carry 2 decimals): the old
+      // DECIMAL(18,6) squares summed to unscaled ~5e19 at sf0.1, past
+      // the ~2^53 scaled-decimal cross-engine limit (sf0.1 sweep, round
+      // 7). Scale-0 cents² sums stay < 2^53 through sf100.
+      val vc = dec(expr("CAST(ROUND(value * 100) AS BIGINT)"), 38, 0)
       def stats(tp: String, sfx: String) = ev
         .filter(col("event_type") === tp)
         .groupBy(dayofmonth(col("ts")).cast("long").as("m"))
         .agg(
           count(lit(1)).cast("long").as("n" + sfx),
-          sum(vdec).cast("double").as("sx" + sfx),
-          sum(vdec * vdec).cast("double").as("sxx" + sfx))
+          (sum(vc).cast("double") / lit(1e2)).as("sx" + sfx),
+          (sum(vc * vc).cast("double") / lit(1e4)).as("sxx" + sfx))
       val j = stats("click", "_a").join(stats("purchase", "_b"), Seq("m"))
         .filter(col("n_a") >= 2 && col("n_b") >= 2)
       val na = col("n_a").cast("double")
@@ -708,12 +712,14 @@ object Pipeline9 {
 
     "q_ab_ttest" ->
       """WITH a AS (SELECT DAY(ts) AS m, CAST(COUNT(*) AS BIGINT) AS n_a,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx_a,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx_a
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 1e2 AS sx_a,
+        |    CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)
+        |      * CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)) AS DOUBLE) / 1e4 AS sxx_a
         |  FROM events WHERE value IS NOT NULL AND event_type = 'click' GROUP BY 1),
         |b AS (SELECT DAY(ts) AS m, CAST(COUNT(*) AS BIGINT) AS n_b,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx_b,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx_b
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 1e2 AS sx_b,
+        |    CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)
+        |      * CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)) AS DOUBLE) / 1e4 AS sxx_b
         |  FROM events WHERE value IS NOT NULL AND event_type = 'purchase' GROUP BY 1)
         |SELECT m, n_a, n_b,
         |  sx_a / CAST(n_a AS DOUBLE) AS mean_a,

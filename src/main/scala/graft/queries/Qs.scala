@@ -38,4 +38,46 @@ object Qs {
 
   /** DuckDB spelling of [[tsS]]. */
   def tsSqlS(expr: String): String = s"strftime($expr, '%Y-%m-%d %H:%M:%S')"
+
+  private val BigK = "1000000000000000000" // 1e18
+
+  /** Exact big integer (decimal/HUGEINT) → double, converted IDENTICALLY
+    * in Spark and DuckDB at ANY magnitude. A bare `.cast("double")` on a
+    * sum is only safe below ~2^63: DuckDB's HUGEINT→DOUBLE computes
+    * hi·2^64 + lo in double arithmetic (two roundings) while Java
+    * BigDecimal rounds once — the sf0.1 sweep caught five queries
+    * diverging by one ulp this way (round 7). The fix: split at 1e18 —
+    * the quotient stays < 2^53 (exact in double), the remainder < 2^63
+    * (single correctly-rounded conversion in both engines), and the
+    * final hi·1e18 + lo runs in IEEE doubles identically everywhere.
+    * Sign is handled via abs so DIV/% truncation conventions can never
+    * differ. Use for any oracle-compared sum whose magnitude can pass
+    * 2^63 at a plausible scale factor (squares/cubes/products of cents).
+    *
+    * `name` must be a resolvable column name in the frame (use after
+    * .agg, via withColumn/selectExpr).
+    */
+  def dblBig(name: String): Column = expr(
+    s"SIGN($name) * (CAST(ABS($name) DIV $BigK AS DOUBLE) * 1e18 + " +
+      s"CAST(ABS($name) % $BigK AS DOUBLE))")
+
+  /** DuckDB spelling of [[dblBig]] — `e` must be HUGEINT-typed. */
+  def dblBigSql(e: String): String =
+    s"SIGN($e) * (CAST(ABS($e) // $BigK AS DOUBLE) * 1e18 + " +
+      s"CAST(ABS($e) % $BigK AS DOUBLE))"
+
+  /** [[dblBig]] for a SCALED decimal sum (the q_twap class: a
+    * DECIMAL(38,s) whose unscaled value passes ~2^53 converts to double
+    * differently per engine). Rescale to the exact integer (×10^s),
+    * convert via the mirrored hi/lo split, then divide back in doubles —
+    * 10^s is exactly representable, so the final division rounds once,
+    * identically everywhere.
+    */
+  def dblBigScaled(name: String, scale: Int): Column =
+    dblBig(s"CAST($name * ${BigInt(10).pow(scale)} AS DECIMAL(38,0))") /
+      lit(math.pow(10.0, scale))
+
+  /** DuckDB spelling of [[dblBigScaled]]. */
+  def dblBigScaledSql(e: String, scale: Int): String =
+    s"(${dblBigSql(s"CAST($e * ${BigInt(10).pow(scale)} AS HUGEINT)")}) / 1e$scale"
 }
