@@ -134,6 +134,14 @@ object Similarity {
     * only inside them. Pair space shrinks from N² to ~nprobe·Σ|cell|² —
     * the coarse-quantizer analogue of [[annLshKnn]]'s hyperplane
     * buckets. `iters = 0` reproduces pure seed centroids.
+    *
+    * SCALE RULE (measured, graft.ScaleProbe round 7): `nCells` must
+    * track corpus size — constant expected cell population (N/nCells),
+    * the standard IVF sizing. A FIXED nCells makes the within-cell pair
+    * space quadratic in N: at 30× corpus, cells=16 ran 110s where
+    * cells=480 ran 13.6s on the same data (sub-linear end to end). The
+    * catalog query pins nCells for oracle replay; production callers
+    * pass nCells ≈ N / target_cell_size (classically ≈ √N).
     */
   def ivfKnn(embeddings: DataFrame, nCells: Int, k: Int,
       iters: Int = 0, nprobe: Int = 1): DataFrame = {
@@ -374,6 +382,11 @@ object Similarity {
 
   /** ANN top-k restricted to sign-LSH buckets. Recall < 1 by design;
     * cheap at scale (pair space divided by ~2^bits for centered data).
+    */
+  /** SCALE RULE (measured, graft.ScaleProbe round 7): `bits` must grow
+    * with the corpus — bits ≈ log2(N / target bucket population). Fixed
+    * bits = fixed 2^bits buckets = pair space ∝ N²/2^bits (at 30×
+    * corpus, bits=13 ran 1.76s vs bits=8 at 2.75s and pulling away).
     */
   def annLshKnn(embeddings: DataFrame, k: Int, bits: Int = 8): DataFrame = {
     val b = signBucket(embeddings, bits)

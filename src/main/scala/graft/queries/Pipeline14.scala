@@ -119,15 +119,23 @@ object Pipeline14 {
           sum(col("bcents")).cast("long").as("sy"),
           sum(col("bx") * col("bcents")).cast("long").as("sxy"),
           sum(col("bx") * col("bx")).cast("long").as("sxx"))
+        // Closed-form products in exact DECIMAL: sy·sxx reaches ~9e18 at
+        // 30× data and overflows a long (caught by the scale-stress run,
+        // round 7). The differences stay < 2^63, so the double casts
+        // convert identically in both engines.
+        .withColumn("det", dec(col("nw"), 38, 0) * dec(col("sxx"), 38, 0) -
+          dec(col("sx"), 38, 0) * dec(col("sx"), 38, 0))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
           col("cents"), col("nw"),
-          when(col("nw") * col("sxx") - col("sx") * col("sx") =!= 0,
-            (col("nw") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (col("nw") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          when(col("det") =!= 0,
+            (dec(col("nw"), 38, 0) * dec(col("sxy"), 38, 0) -
+              dec(col("sx"), 38, 0) * dec(col("sy"), 38, 0)).cast("double") /
+              col("det").cast("double"))
             .as("slope"),
-          when(col("nw") * col("sxx") - col("sx") * col("sx") =!= 0,
-            (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
-              (col("nw") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          when(col("det") =!= 0,
+            (dec(col("sy"), 38, 0) * dec(col("sxx"), 38, 0) -
+              dec(col("sx"), 38, 0) * dec(col("sxy"), 38, 0)).cast("double") /
+              col("det").cast("double"))
             .as("intercept"))
         .orderBy(col("day_s"))
     },
@@ -265,12 +273,20 @@ object Pipeline14 {
         |  FROM w WINDOW w7 AS (ORDER BY day
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT strftime(day, '%Y-%m-%d') AS day_s, cents, nw,
-        |  CASE WHEN nw * sxx - sx * sx <> 0
-        |    THEN CAST(nw * sxy - sx * sy AS DOUBLE) /
-        |      CAST(nw * sxx - sx * sx AS DOUBLE) END AS slope,
-        |  CASE WHEN nw * sxx - sx * sx <> 0
-        |    THEN CAST(sy * sxx - sx * sxy AS DOUBLE) /
-        |      CAST(nw * sxx - sx * sx AS DOUBLE) END AS intercept
+        |  CASE WHEN CAST(nw AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) <> 0
+        |    THEN CAST(CAST(nw AS HUGEINT) * CAST(sxy AS HUGEINT)
+        |        - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) /
+        |      CAST(CAST(nw AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |        - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+        |    END AS slope,
+        |  CASE WHEN CAST(nw AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) <> 0
+        |    THEN CAST(CAST(sy AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |        - CAST(sx AS HUGEINT) * CAST(sxy AS HUGEINT) AS DOUBLE) /
+        |      CAST(CAST(nw AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |        - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+        |    END AS intercept
         |FROM r ORDER BY day_s""".stripMargin,
     "q_dup_spans" ->
       """WITH sp AS (SELECT doc_id, md5(substr(text, CAST(pos AS INTEGER), 40))
