@@ -105,11 +105,17 @@ object Pipeline17 {
         sum(dec(col("y"), 38, 0)).as("sy"),
         sum(dec(col("x"), 38, 0) * dec(col("x"), 38, 0)).as("sxx"),
         sum(dec(col("x"), 38, 0) * dec(col("y"), 38, 0)).as("sxy"))
+      // Zero pre-period variance (e.g. no pre-period events at all):
+      // θ is undefined → NULL, not an ANSI crash (fuzz sweep, round 7);
+      // NULL propagates into the adjusted columns, raw ones stay exact.
+      val varx = col("sxx").cast("double") - col("sx").cast("double") *
+        col("sx").cast("double") / col("n").cast("double")
       val theta = pool.select(
-        ((col("sxy").cast("double") - col("sx").cast("double") *
-          col("sy").cast("double") / col("n").cast("double")) /
-         (col("sxx").cast("double") - col("sx").cast("double") *
-          col("sx").cast("double") / col("n").cast("double"))).as("theta"),
+        when(varx === 0.0, lit(null).cast("double"))
+          .otherwise(
+            (col("sxy").cast("double") - col("sx").cast("double") *
+              col("sy").cast("double") / col("n").cast("double")) / varx)
+          .as("theta"),
         (col("sx").cast("double") / col("n").cast("double")).as("mu_x"))
       val arms = per.groupBy(col("arm"))
         .agg(count(lit(1)).cast("long").as("n_users"),
@@ -324,10 +330,12 @@ object Pipeline17 {
         |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
         |  FROM per),
         |th AS (SELECT
-        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
-        |      / CAST(n AS DOUBLE)) /
-        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-        |      / CAST(n AS DOUBLE)) AS theta,
+        |    CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) = 0.0 THEN NULL
+        |      ELSE (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) /
+        |      (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) END AS theta,
         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu_x FROM pool),
         |arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
         |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,

@@ -219,7 +219,11 @@ object Pipeline2 {
           coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
           (coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
             greatest(col("n_words") - 1, lit(1L))).as("top_bigram_frac"),
-          (col("n_symbols").cast("double") / col("n_chars")).as("symbol_ratio"),
+          // Empty documents: NULL ratio instead of an ANSI
+          // divide-by-zero crash (full-catalog fuzz sweep, round 7).
+          when(col("n_chars") === 0, lit(null).cast("double"))
+            .otherwise(col("n_symbols").cast("double") / col("n_chars"))
+            .as("symbol_ratio"),
           // Gopher-ish gate: enough words, some stopwords, sane word
           // length, bounded repetition. Integer cross-multiplied forms.
           (col("n_words") >= 10 && col("n_stop") * 100 >= col("n_words") &&
@@ -381,7 +385,8 @@ object Pipeline2 {
         |  COALESCE(top_bigram_n, 0) AS top_bigram_n,
         |  CAST(COALESCE(top_bigram_n, 0) AS DOUBLE)
         |    / GREATEST(n_words - 1, 1) AS top_bigram_frac,
-        |  CAST(n_symbols AS DOUBLE) / n_chars AS symbol_ratio,
+        |  CASE WHEN n_chars = 0 THEN NULL
+        |    ELSE CAST(n_symbols AS DOUBLE) / n_chars END AS symbol_ratio,
         |  (n_words >= 10 AND n_stop * 100 >= n_words
         |    AND sum_wlen >= n_words * 2 AND sum_wlen <= n_words * 12
         |    AND COALESCE(top_bigram_n, 0) * 5 <= GREATEST(n_words - 1, 1)) AS keep

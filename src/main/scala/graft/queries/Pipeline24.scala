@@ -217,8 +217,14 @@ object Pipeline24 {
           col(c).as("first_half"), col(s"b_$c").as("second_half"))
       }
       rows.reduce(_ union _)
+        // An empty first half (all data on one side of the cut) makes
+        // the drift ratio undefined → NULL, not an ANSI crash (fuzz
+        // sweep, round 7).
         .withColumn("ratio",
-          col("second_half").cast("double") / col("first_half").cast("double"))
+          when(coalesce(col("first_half"), lit(0L)) === 0,
+            lit(null).cast("double"))
+            .otherwise(col("second_half").cast("double") /
+              col("first_half").cast("double")))
         .orderBy(col("metric"))
     })
 
@@ -352,6 +358,8 @@ object Pipeline24 {
         |  UNION ALL SELECT 'distinct priorities', a.n_pri, b.n_pri
         |    FROM a CROSS JOIN b)
         |SELECT metric, first_half, second_half,
-        |  CAST(second_half AS DOUBLE) / CAST(first_half AS DOUBLE) AS ratio
+        |  CASE WHEN COALESCE(first_half, 0) = 0 THEN NULL
+        |    ELSE CAST(second_half AS DOUBLE) / CAST(first_half AS DOUBLE)
+        |  END AS ratio
         |FROM rows_ ORDER BY metric""".stripMargin)
 }

@@ -159,13 +159,20 @@ object Pipeline28 {
           sum(col("dx") * col("dx")).cast("long").as("sxx"),
           sum(col("dy") * col("dy")).cast("long").as("syy"))
         .crossJoin(broadcast(nodes))
-        .withColumn("assortativity",
-          (col("n_edges").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-          sqrt((col("n_edges").cast("double") * col("sxx").cast("double") -
+        // A regular graph (all degrees equal) has zero degree variance:
+        // assortativity is undefined → NULL, not an ANSI crash
+        // (full-catalog fuzz sweep, round 7).
+        .withColumn("vprod",
+          (col("n_edges").cast("double") * col("sxx").cast("double") -
             col("sx").cast("double") * col("sx").cast("double")) *
             (col("n_edges").cast("double") * col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double"))))
+              col("sy").cast("double") * col("sy").cast("double")))
+        .withColumn("assortativity",
+          when(col("vprod") <= 0.0, lit(null).cast("double"))
+            .otherwise(
+              (col("n_edges").cast("double") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt(col("vprod"))))
         .select(col("n_edges"), col("n_nodes"), col("assortativity"))
     },
 
@@ -277,15 +284,19 @@ object Pipeline28 {
         |    CAST(SUM(dxv * dxv) AS BIGINT) AS sxx,
         |    CAST(SUM(dyv * dyv) AS BIGINT) AS syy
         |  FROM xy),
-        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
-        |SELECT n_edges, n_nodes,
-        |  (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |  / SQRT((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+        |vp AS (SELECT n_edges, sx, sy, sxy,
+        |    (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |    * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
-        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS assortativity
-        |FROM mo, nd""".stripMargin,
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vprod
+        |  FROM mo)
+        |SELECT n_edges, n_nodes,
+        |  CASE WHEN vprod <= 0.0 THEN NULL
+        |    ELSE (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / SQRT(vprod)
+        |  END AS assortativity
+        |FROM vp, nd""".stripMargin,
     "q_session_entropy" ->
       """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),
