@@ -26,18 +26,27 @@ object Pipeline40 {
     // Embedding data-quality audit: norm moments plus degenerate-vector
     // counts — the "are these vectors usable" gate before any ANN work.
     "q_embed_norm_audit" -> { (s, dir) =>
+      // Integer 1e-10 norm units (ROUND on the shared double product —
+      // identical in both engines) instead of a double→DECIMAL cast,
+      // whose string-vs-binary rounding can diverge at a boundary; and
+      // squares integrally divided back down so every sum stays < 2^63
+      // at any SF (the round-7 conversion rules).
       val e = graft.operators.Similarity.withNorm(t(s, dir, "embeddings"))
-        .withColumn("nrm_d", col("nrm").cast(DecimalType(18, 10)))
+        .withColumn("nrm_u", expr("CAST(ROUND(nrm * 1e10) AS BIGINT)"))
       e.agg(count(lit(1)).cast("long").as("n_vectors"),
-          sum(col("nrm_d")).cast("double").as("s1"),
-          sum(col("nrm_d") * col("nrm_d")).cast("double").as("s2"),
+          (sum(dec(col("nrm_u"), 38, 0)).cast("double") / lit(1e10)).as("s1"),
+          (sum(expr("CAST((CAST(nrm_u AS DECIMAL(38,0)) * CAST(nrm_u AS DECIMAL(38,0))) DIV 10000000000 AS BIGINT)"))
+            .cast("double") / lit(1e10)).as("s2"),
           sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).cast("long")
             .as("n_zero"),
           sum(when(abs(col("nrm") - 1.0) <= 0.01, 1L).otherwise(0L))
             .cast("long").as("n_unit"))
         .withColumn("mean_norm", col("s1") / col("n_vectors").cast("double"))
-        .withColumn("sd_norm", sqrt(col("s2") / col("n_vectors").cast("double") -
-          col("mean_norm") * col("mean_norm")))
+        // the 1e-10 truncation can push a near-zero variance epsilon
+        // negative — clamp (mirrored) so sqrt stays defined
+        .withColumn("sd_norm", sqrt(greatest(
+          col("s2") / col("n_vectors").cast("double") -
+            col("mean_norm") * col("mean_norm"), lit(0.0))))
         .select(col("n_vectors"), col("mean_norm"), col("sd_norm"),
           col("n_zero"), col("n_unit"))
     },
@@ -101,18 +110,23 @@ object Pipeline40 {
         |      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
         |      AS DOUBLE) AS nrm
         |  FROM embeddings),
-        |d AS (SELECT nrm, CAST(nrm AS DECIMAL(18,10)) AS nrm_d FROM e)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
-        |  CAST(SUM(nrm_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_norm,
-        |  SQRT(CAST(SUM(nrm_d * nrm_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-        |    - (CAST(SUM(nrm_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-        |      * (CAST(SUM(nrm_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
-        |    AS sd_norm,
-        |  CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_zero,
-        |  CAST(SUM(CASE WHEN ABS(nrm - 1.0) <= 0.01 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_unit
-        |FROM d""".stripMargin,
+        |d AS (SELECT nrm, CAST(ROUND(nrm * 1e10) AS BIGINT) AS nrm_u FROM e),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |    CAST(SUM(nrm_u) AS DOUBLE) / 1e10 AS s1,
+        |    CAST(SUM((CAST(nrm_u AS HUGEINT) * CAST(nrm_u AS HUGEINT))
+        |      // 10000000000) AS DOUBLE) / 1e10 AS s2,
+        |    CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero,
+        |    CAST(SUM(CASE WHEN ABS(nrm - 1.0) <= 0.01 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_unit
+        |  FROM d)
+        |SELECT n_vectors,
+        |  s1 / CAST(n_vectors AS DOUBLE) AS mean_norm,
+        |  SQRT(GREATEST(s2 / CAST(n_vectors AS DOUBLE)
+        |    - (s1 / CAST(n_vectors AS DOUBLE))
+        |      * (s1 / CAST(n_vectors AS DOUBLE)), 0.0)) AS sd_norm,
+        |  n_zero, n_unit
+        |FROM a""".stripMargin,
     "q_tail_ratio" ->
       """WITH ev AS (SELECT event_type, event_id,
         |    CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
