@@ -4,19 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 import graft.operators.Similarity
 
-/** Scale-knob probe (round 7): times the ANN operators at settings that
-  * TRACK corpus size, versus the catalog queries' fixed oracle settings.
+/** Scale-knob probe (round 7; settled round 8): times the ANN operators
+  * at two knob settings side by side on the same data, so sizing rules
+  * are measured instead of argued.
   *
-  * The catalog pins `q_embed_ivf` at nCells=16 and `q_embed_ann_lsh` at
-  * bits=8 because the DuckDB oracle replays those parameters bit-for-bit
-  * — correct for the hash check, but at 30× corpus a FIXED cell/bucket
-  * count means per-cell population grows linearly and the within-cell
-  * pair space quadratically. That is not an operator defect: the
-  * operator takes the knob, and the production rule is
-  * cells ∝ N (constant expected cell population) / bits ≈ log2(N /
-  * target-bucket-size). This main measures both settings side by side on
-  * the same data so BENCH_SCALE.md can adjudicate the ⚠ rows with
-  * numbers instead of argument.
+  * Round 7 used it to show FIXED knobs (nCells=16, bits=8) go quadratic
+  * at 30× corpus; round 8 used it to pick between nCells ∝ N (29.4s at
+  * 30×, assignment-pass quadratic) and nCells = √N (6.7s, the classic
+  * balance) — and then moved the winning rules INTO the gated catalog
+  * queries (`Similarity.scaledCells` / `scaledBits`, oracle-mirrored),
+  * so the probe is now regression tooling rather than the only evidence.
   *
   * Usage: `runMain graft.ScaleProbe <sfDir> <fixedCells> <scaledCells>
   *   <fixedBits> <scaledBits>`

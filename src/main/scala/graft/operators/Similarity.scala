@@ -20,6 +20,36 @@ import graft.functions.VectorFunctions.dot
   */
 object Similarity {
 
+  /** Production IVF sizing (the measured scale rule, now INSIDE the
+    * gated queries): nCells = max(16, ⌊√N⌋) — the classic balance point
+    * of the two cost terms, centroid assignment (N·nCells) and
+    * within-cell search (N·N/nCells), both N^1.5 at √N. A FIXED nCells
+    * makes the search term quadratic (measured round 7: cells=16 ran
+    * 110s where scaled cells ran 13.6s on the same 30× corpus); an
+    * nCells ∝ N rule flips the quadratic onto the assignment pass
+    * instead (measured round 8 on the 30× corpus: cells=937 ≙ N/64 ran
+    * 29.4s where cells=244 ≙ √N ran 6.7s). IEEE sqrt is correctly
+    * rounded in both engines and N < 2^53 is exact in double, so the
+    * DuckDB oracle mirrors the knob bit-for-bit:
+    * `GREATEST(16, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))`.
+    */
+  def scaledCells(n: Long): Int =
+    math.max(16L, math.sqrt(n.toDouble).toLong).toInt
+
+  /** Production sign-LSH sizing (measured round-7 rule): bits =
+    * ceil(log2(ceil(N / targetBucket))), floored at 8 and capped at the
+    * embedding dim — constant expected bucket population, pair space
+    * ∝ N·targetBucket instead of N²/2^bits. Exact integer log2 via the
+    * binary-string length (`bin` exists in BOTH engines, so the DuckDB
+    * oracle replays the knob bit-for-bit):
+    * `LEAST(64, GREATEST(8, LENGTH(BIN((COUNT(*) + 15) // 16 - 1))))`.
+    */
+  def scaledBits(n: Long, targetBucket: Long = 16L, dim: Int = 64): Int = {
+    val m = (n + targetBucket - 1) / targetBucket // buckets wanted (ceil)
+    val ceilLog2 = java.lang.Long.toBinaryString(math.max(0L, m - 1)).length
+    math.min(dim, math.max(8, ceilLog2))
+  }
+
   /** vec_id + embedding as array<double> + L2 norm. */
   def withNorm(embeddings: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
@@ -135,13 +165,13 @@ object Similarity {
     * the coarse-quantizer analogue of [[annLshKnn]]'s hyperplane
     * buckets. `iters = 0` reproduces pure seed centroids.
     *
-    * SCALE RULE (measured, graft.ScaleProbe round 7): `nCells` must
-    * track corpus size — constant expected cell population (N/nCells),
-    * the standard IVF sizing. A FIXED nCells makes the within-cell pair
-    * space quadratic in N: at 30× corpus, cells=16 ran 110s where
-    * cells=480 ran 13.6s on the same data (sub-linear end to end). The
-    * catalog query pins nCells for oracle replay; production callers
-    * pass nCells ≈ N / target_cell_size (classically ≈ √N).
+    * SCALE RULE (measured, graft.ScaleProbe rounds 7-8, and since
+    * round 8 INSIDE the gated catalog query): `nCells` must track corpus
+    * size as ≈ √N — see [[scaledCells]] for the cost balance and the
+    * measured 110s (fixed 16) / 29.4s (∝N) / 6.7s (√N) comparison on
+    * the same 30× corpus. `q_embed_ivf` derives the knob from the
+    * corpus count and the DuckDB oracle mirrors the arithmetic, so the
+    * gated plan is the production plan at every sf.
     */
   def ivfKnn(embeddings: DataFrame, nCells: Int, k: Int,
       iters: Int = 0, nprobe: Int = 1): DataFrame = {
@@ -383,10 +413,14 @@ object Similarity {
   /** ANN top-k restricted to sign-LSH buckets. Recall < 1 by design;
     * cheap at scale (pair space divided by ~2^bits for centered data).
     */
-  /** SCALE RULE (measured, graft.ScaleProbe round 7): `bits` must grow
-    * with the corpus — bits ≈ log2(N / target bucket population). Fixed
-    * bits = fixed 2^bits buckets = pair space ∝ N²/2^bits (at 30×
+  /** SCALE RULE (measured, graft.ScaleProbe round 7, and since round 8
+    * INSIDE the gated catalog query): `bits` must grow with the corpus —
+    * bits ≈ log2(N / target bucket population), see [[scaledBits]].
+    * Fixed bits = fixed 2^bits buckets = pair space ∝ N²/2^bits (at 30×
     * corpus, bits=13 ran 1.76s vs bits=8 at 2.75s and pulling away).
+    * `q_embed_ann_lsh` derives the knob from the corpus count with the
+    * oracle mirroring the integer log2, so the gated plan is the
+    * production plan at every sf.
     */
   def annLshKnn(embeddings: DataFrame, k: Int, bits: Int = 8): DataFrame = {
     val b = signBucket(embeddings, bits)

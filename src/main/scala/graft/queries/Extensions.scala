@@ -356,12 +356,23 @@ object Extensions {
         .orderBy(col("user_id"))
     },
 
-    // IVF-flat ANN: 16 cells refined by 2 Lloyd rounds (exact decimal
-    // means — deterministic and oracle-replayable), queries probe their
-    // 2 nearest cells, top-3 by exact cosine within probed cells.
+    // IVF-flat ANN with the PRODUCTION cell sizing inside the gate
+    // (round-8): nCells = max(16, ⌊√N⌋) derived from the corpus count —
+    // the measured balance of assignment (N·cells) vs within-cell
+    // search (N²/cells) — mirrored exactly by the oracle's
+    // GREATEST(16, FLOOR(SQRT(COUNT(*)))) scalar subquery, so the gated
+    // plan IS the plan that stays sub-quadratic at any sf (29.4s at
+    // cells∝N vs 6.7s at √N on the 30× corpus; 110s at the round-6
+    // fixed 16). 2 Lloyd rounds over exact decimal means
+    // (deterministic, oracle-replayable), queries probe their 2 nearest
+    // cells, top-3 by exact cosine within probed cells. The count() is a
+    // metadata-cheap distributed aggregate used only to size the knob —
+    // the same statistics pass any IVF build performs.
     "q_embed_ivf" -> { (s, dir) =>
-      Similarity.ivfKnn(Similarity.withNorm(t(s, dir, "embeddings")),
-        nCells = 16, k = 3, iters = 2, nprobe = 2)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfKnn(Similarity.withNorm(emb),
+        nCells = Similarity.scaledCells(emb.count()), k = 3, iters = 2,
+        nprobe = 2)
     },
 
     // Multimodal metadata decode over binary payloads (stub decoder —
@@ -672,11 +683,17 @@ object Extensions {
         |SELECT user_id, COUNT(*) AS n_purchases_in_window
         |FROM p JOIN iv ON start_us <= p_us AND p_us < end_us
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
-    // Replays ivfKnn(nCells=16, iters=2, nprobe=2) bit-for-bit: the Lloyd
-    // means aggregate DECIMAL(10,3) quantized values (exact in any order),
+    // Replays ivfKnn(nCells = max(16, ⌊√N⌋), iters=2, nprobe=2)
+    // bit-for-bit: the knob itself is the `kn` scalar subquery (IEEE
+    // sqrt is correctly rounded in both engines, exact on N < 2^53 —
+    // same value as Similarity.scaledCells), the Lloyd means
+    // aggregate DECIMAL(10,3) quantized values (exact in any order),
     // every dot product is the same left-to-right fold in both engines.
     "q_embed_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      """WITH kn AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(
+        |    CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS ncells
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
         |      CAST(embedding AS DOUBLE[]))) AS nrm
         |  FROM embeddings),
@@ -685,7 +702,7 @@ object Extensions {
         |    list_transform(emb, v -> CAST(ROUND(v, 3) AS DECIMAL(10,3))) AS qd
         |  FROM e),
         |c0 AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm
-        |  FROM e WHERE vec_id < 16),
+        |  FROM e WHERE vec_id < (SELECT ncells FROM kn)),
         |a1 AS (SELECT vec_id, qd, cell FROM (
         |  SELECT v.vec_id, v.qd, c.c_id AS cell,
         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY

@@ -67,11 +67,17 @@ object Pipeline {
       Similarity.bruteForceKnn(e.filter(col("vec_id") < 500), e, k = 5)
     },
 
-    // ANN via coordinate-sign LSH: 8-bit bucket from the signs of the
-    // first 8 dims (axis hyperplanes), candidates restricted to the
+    // ANN via coordinate-sign LSH with the PRODUCTION bit sizing inside
+    // the gate (round-8): bits = ceil(log2(N/16)), floored at 8 —
+    // constant expected bucket population, derived from the corpus count
+    // (Similarity.scaledBits) and mirrored exactly by the oracle's
+    // LENGTH(BIN(...)) scalar subquery. Bucket = signs of the first
+    // `bits` dims (axis hyperplanes); candidates restricted to the
     // bucket, top-3 by exact cosine within it.
     "q_embed_ann_lsh" -> { (s, dir) =>
-      Similarity.annLshKnn(Similarity.withNorm(t(s, dir, "embeddings")), k = 3)
+      val emb = t(s, dir, "embeddings")
+      Similarity.annLshKnn(Similarity.withNorm(emb), k = 3,
+        bits = Similarity.scaledBits(emb.count()))
     },
 
     // Quality / length stats per document.
@@ -218,17 +224,18 @@ object Pipeline {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
         |  FROM p) ranked
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // The `kn` scalar subquery IS Similarity.scaledBits: exact integer
+    // ceil-log2 via the binary-string length (bin() in both engines).
     "q_embed_ann_lsh" ->
       s"""WITH $embSql,
+        |kn AS (SELECT LEAST(64, GREATEST(8,
+        |    LENGTH(BIN((COUNT(*) + 15) // 16 - 1)))) AS bits
+        |  FROM embeddings),
         |b AS (SELECT vec_id, emb, nrm,
-        |  (CASE WHEN emb[1] > 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN emb[2] > 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN emb[3] > 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN emb[4] > 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN emb[5] > 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN emb[6] > 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN emb[7] > 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN emb[8] > 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+        |  array_to_string(list_transform(
+        |    list_slice(emb, 1, (SELECT bits FROM kn)),
+        |    v -> CASE WHEN v > 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM e),
         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  list_inner_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)

@@ -148,6 +148,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(buckets(1L) !== buckets(3L))
   }
 
+  test("scaledCells / scaledBits: exact knob arithmetic (oracle-mirrored)") {
+    // scaledCells = max(16, ⌊√N⌋) — must equal the oracle's
+    // GREATEST(16, FLOOR(SQRT(N))) at every N the gate can see.
+    assert(Similarity.scaledCells(0) === 16)
+    assert(Similarity.scaledCells(256) === 16)
+    assert(Similarity.scaledCells(500) === 22)
+    assert(Similarity.scaledCells(2000) === 44)
+    assert(Similarity.scaledCells(2025) === 45)   // perfect square edge
+    assert(Similarity.scaledCells(60000) === 244)
+    // scaledBits = min(64, max(8, ceil(log2(ceil(N/16))))) via binary
+    // string length — must equal LENGTH(BIN((N+15)//16 - 1)) clamped.
+    assert(Similarity.scaledBits(0) === 8)
+    assert(Similarity.scaledBits(500) === 8)
+    assert(Similarity.scaledBits(2000) === 8)
+    assert(Similarity.scaledBits(4096) === 8)     // 256 buckets exactly
+    assert(Similarity.scaledBits(4097) === 9)     // first step past 2^8
+    assert(Similarity.scaledBits(20000) === 11)
+    assert(Similarity.scaledBits(60000) === 12)
+    // trillion-vector corpus: 2^40/16 buckets → 36 bits, well under the
+    // 64-dim cap (the cap needs 2^64·16 vectors — unreachable).
+    assert(Similarity.scaledBits(1L << 40) === 36)
+  }
+
   test("IVF: Lloyd rounds + nprobe=2 improve recall@3 over raw seeds (sf0.01)") {
     val e = Similarity.withNorm(
       spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"))
