@@ -62,7 +62,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * [[releaseCheckpoints]] once results are egressed. Releasing
   * invalidates the not-yet-collected outputs of earlier `running` calls
   * (truncated lineage cannot recompute) — it is an after-egress hygiene
-  * call, which is exactly how Bench/Verify sequence it per query.
+  * call. (Bench/Verify get the same effect by a blanket
+  * `getPersistentRDDs` unpersist sweep after each query, which covers
+  * every operator's checkpoints at once; this API is the targeted
+  * equivalent for library users embedding the operator in a long-lived
+  * session.)
   *
   * `boundedInput = true` is a caller hint that the frame is provably
   * small BY CONSTRUCTION (e.g. post-aggregation by calendar day: ≤ a few
@@ -107,10 +111,17 @@ object OrderStats {
     */
   def pinnedCheckpointCount(
       spark: org.apache.spark.sql.SparkSession): Int = {
+    // Self-prune GC-cleared entries on every access (not only in
+    // releaseCheckpoints): a long-lived session that never releases
+    // would otherwise accumulate dead queue entries unboundedly and
+    // re-scan them on each call.
     var n = 0
-    checkpoints.forEach { case (sc, ref) =>
+    val it = checkpoints.iterator()
+    while (it.hasNext) {
+      val (sc, ref) = it.next()
       val rdd = ref.get()
-      if ((sc eq spark.sparkContext) && rdd != null &&
+      if (rdd == null) it.remove()
+      else if ((sc eq spark.sparkContext) &&
         rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
         n += 1
     }

@@ -61,7 +61,10 @@ object Pipeline36 {
       // Power sums reach 1e20 (s2) / 1e36 (s4): far past the ~2^63 limit
       // where a bare decimal→double cast converts identically in both
       // engines — dblBig splits hi/lo so the conversion is mirrored
-      // (caught by the sf0.1 sweep, round 7).
+      // (caught by the sf0.1 sweep, round 7). s4 sits within ~10× of
+      // dblBig's own ~9.2e36 long-quotient ceiling, so it takes the
+      // two-level dblBig2 split — good to the DECIMAL(38)/HUGEINT edge
+      // (the exact accumulator's own bound).
       t(s, dir, "orders")
         .agg(count(lit(1)).cast("long").as("n"),
           sum(c).cast("double").as("s1"),
@@ -69,7 +72,7 @@ object Pipeline36 {
           sum(c * c * c * c).as("s4x"))
         .withColumn("s2", dblBig("s2x"))
         .withColumn("s3", dblBig("s3x"))
-        .withColumn("s4", dblBig("s4x"))
+        .withColumn("s4", dblBig2("s4x"))
         .withColumn("mu", col("s1") / col("n").cast("double"))
         .withColumn("m2", col("s2") / col("n").cast("double") -
           col("mu") * col("mu"))
@@ -237,7 +240,7 @@ object Pipeline36 {
         |    SUM(c * c * c * c) AS s4x
         |  FROM b),
         |a AS (SELECT n, s1, ${dblBigSql("s2x")} AS s2,
-        |    ${dblBigSql("s3x")} AS s3, ${dblBigSql("s4x")} AS s4
+        |    ${dblBigSql("s3x")} AS s3, ${dblBig2Sql("s4x")} AS s4
         |  FROM ax),
         |m AS (SELECT n, s1 / CAST(n AS DOUBLE) AS mu,
         |    s2 / CAST(n AS DOUBLE) AS r2, s3 / CAST(n AS DOUBLE) AS r3,

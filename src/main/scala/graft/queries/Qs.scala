@@ -40,9 +40,17 @@ object Qs {
   def tsSqlS(expr: String): String = s"strftime($expr, '%Y-%m-%d %H:%M:%S')"
 
   private val BigK = "1000000000000000000" // 1e18
+  private val BigK2 = BigK + BigK.drop(1)  // 1e36
 
   /** Exact big integer (decimal/HUGEINT) → double, converted IDENTICALLY
-    * in Spark and DuckDB at ANY magnitude. A bare `.cast("double")` on a
+    * in Spark and DuckDB — up to a CEILING of ~9.2e36: Spark's
+    * `DIV` (IntegralDivide) returns LongType, so `ABS(x) DIV 1e18`
+    * overflows a long (ANSI error) once |x| ≥ 2^63·1e18 ≈ 9.2e36, and
+    * past that the DuckDB quotient exceeds 2^63 too (double-rounded
+    * again). Sums that can approach the ceiling (q_higher_moments'
+    * Σcents⁴ ≈ 1e36 at sf0.1, within ~10× of it) must use [[dblBig2]],
+    * whose two-level split covers the full DECIMAL(38,0)/HUGEINT
+    * domain. A bare `.cast("double")` on a
     * sum is only safe below ~2^63: DuckDB's HUGEINT→DOUBLE computes
     * hi·2^64 + lo in double arithmetic (two roundings) while Java
     * BigDecimal rounds once — the sf0.1 sweep caught five queries
@@ -64,6 +72,28 @@ object Qs {
   /** DuckDB spelling of [[dblBig]] — `e` must be HUGEINT-typed. */
   def dblBigSql(e: String): String =
     s"SIGN($e) * (CAST(ABS($e) // $BigK AS DOUBLE) * 1e18 + " +
+      s"CAST(ABS($e) % $BigK AS DOUBLE))"
+
+  /** [[dblBig]] with a TWO-level split for sums past its ~9.2e36
+    * ceiling: h = x DIV 1e36 (< 100 for any DECIMAL(38,0) — the long
+    * quotient can never overflow), m = (x % 1e36) DIV 1e18 (< 1e18),
+    * l = x % 1e18. Each piece converts exactly or single-rounded in
+    * both engines and the fused (h·1e36 + m·1e18) + l runs in IEEE
+    * doubles identically everywhere. Covers the full DECIMAL(38,0)/
+    * HUGEINT domain — past THAT the exact accumulator itself overflows,
+    * so this is the conversion's natural end of the road. Use for
+    * fourth-power sums (q_higher_moments' Σcents⁴ ≈ 1e36 at sf0.1 —
+    * inside dblBig's ceiling by only ~10×).
+    */
+  def dblBig2(name: String): Column = expr(
+    s"SIGN($name) * ((CAST(ABS($name) DIV $BigK2 AS DOUBLE) * 1e36 + " +
+      s"CAST((ABS($name) % $BigK2) DIV $BigK AS DOUBLE) * 1e18) + " +
+      s"CAST(ABS($name) % $BigK AS DOUBLE))")
+
+  /** DuckDB spelling of [[dblBig2]] — `e` must be HUGEINT-typed. */
+  def dblBig2Sql(e: String): String =
+    s"SIGN($e) * ((CAST(ABS($e) // $BigK2 AS DOUBLE) * 1e36 + " +
+      s"CAST((ABS($e) % $BigK2) // $BigK AS DOUBLE) * 1e18) + " +
       s"CAST(ABS($e) % $BigK AS DOUBLE))"
 
   /** [[dblBig]] for a SCALED decimal sum (the q_twap class: a

@@ -159,8 +159,11 @@ final class HttpShell(spark: SparkSession, baseDir: String, port: Int = 3000) {
       w.write("]")
       w.flush()
     } catch {
-      case e: Throwable =>
-        // Headers are gone; surface the truncation loudly server-side.
+      // Runtime failures after the 200 header is gone: log the
+      // truncation loudly server-side (documented tradeoff). Fatal JVM
+      // errors (OutOfMemoryError, ...) must still propagate — the
+      // finally closes the stream first.
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[delays] mid-stream failure after 200: ${e.getMessage}")
     } finally os.close()
   }

@@ -28,6 +28,35 @@ class Pipeline36Spec extends AnyFunSuite {
     assert(ek >= sk * sk - 2.0 - 1e-9)
   }
 
+  test("dblBig2: exact conversion past dblBig's ~9.2e36 ceiling") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // Values straddling the single-split long-quotient overflow point
+    // (2^63 * 1e18 ≈ 9.22e36) up to near the DECIMAL(38,0) edge. The
+    // reference is BigDecimal.doubleValue — one correctly-rounded
+    // conversion, which the fused hi/mid/lo expression must reproduce.
+    val vals = Seq("9223372036854775807999999999999999999",  // just below 2^63·1e18
+      "9223372036854775808000000000000000000",               // first overflow of DIV 1e18
+      "12345678901234567890123456789012345678",
+      "-9999999999999999999999999999999999999")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))))
+      .select(expr("CAST(s AS DECIMAL(38,0))").as("x"), col("s"))
+    val got = df.select(col("s"), Qs.dblBig2("x").as("d"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    vals.foreach { v =>
+      // The hard guarantee is Spark == DuckDB (same fused expression —
+      // proven by the q_higher_moments oracle gate); against the
+      // single-rounded BigDecimal reference the split can differ by at
+      // most a couple of ulps from the two extra additions.
+      val ref = new java.math.BigDecimal(v).doubleValue()
+      val ulp = math.ulp(ref)
+      assert(math.abs(got(v) - ref) <= 2 * math.abs(ulp), s"dblBig2($v): ${got(v)} vs $ref")
+    }
+  }
+
   test("q_mean_reversion: phi in (-1,1); half-life positive when defined") {
     val r = run("q_mean_reversion").collect().head
     val phi = r.getAs[Double]("phi")
