@@ -27,6 +27,13 @@ import org.apache.spark.sql.SparkSession
   * reported. Every reported number is still a complete end-to-end
   * execution of the query's plan.
   *
+  * Executor CPU (round 8): a SparkListener accumulates per-task
+  * executorCpuTime/executorRunTime, snapshotted around each run after a
+  * listener-bus flush, and the JSON line carries per-query `cpu`/`run`
+  * second maps (of the min-wall run). Wall time can't distinguish "plan
+  * does more work" from "machine was contended"; CPU can — the codec
+  * wall-ratio adjudications in BENCH_SCALE.md cite these.
+  *
   * Noise forensics (round 6): two driver rounds running were contaminated
   * by a contended bench machine (r4 ~1.27× inflated catalog-wide; r5 tail
   * spikes to 7.5× that did not reproduce on a quiet box). So the JSON now
@@ -42,6 +49,28 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.getLines().next().split(" ")(0).toDouble finally src.close()
     } catch { case _: Exception => -1.0 }
+
+  /** Cumulative executor task metrics, fed by the listener bus. Wall
+    * time alone cannot separate "the plan does more work" from "the
+    * machine was contended" — executorCpuTime ∝ actual work, and
+    * runTime−cpuTime exposes scheduling/IO wait. Snapshots are taken
+    * around each query run (after a listener-bus flush, see
+    * CoreBridge.flushListenerBus) so the delta is per-query exact.
+    */
+  private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
+    private val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    private val runMs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        runMs.addAndGet(m.executorRunTime)
+      }
+    }
+    /** (cpu seconds, run seconds) since listener registration. */
+    def snapshot(): (Double, Double) = (cpuNs.get / 1e9, runMs.get / 1e3)
+  }
 
   def main(args: Array[String]): Unit = {
     val loadBefore = loadAvg1m()
@@ -66,6 +95,13 @@ object Bench {
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val cpuListener = new CpuListener
+    spark.sparkContext.addSparkListener(cpuListener)
+    // Per-query executor CPU/run seconds from the run that produced the
+    // reported (min) wall time — recorded so scale/noise adjudication
+    // can cite CPU ∝ work instead of wall-clock on a contended box.
+    val cpuOfBest = scala.collection.mutable.Map[String, (Double, Double)]()
+    val timingsBest = scala.collection.mutable.Map[String, Double]()
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val retrySec = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SEC", "10").toDouble
@@ -73,6 +109,8 @@ object Bench {
     // must not be able to improve the min-over-passes headline number.
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                tag: String): Option[Double] = {
+      org.apache.spark.graftbridge.CoreBridge.flushListenerBus(spark.sparkContext)
+      val (cpu0, run0) = cpuListener.snapshot()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -81,7 +119,15 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $tag $name $sec%.2fs${if (ok) "" else " FAILED"}")
+      org.apache.spark.graftbridge.CoreBridge.flushListenerBus(spark.sparkContext)
+      val (cpu1, run1) = cpuListener.snapshot()
+      val (cpuS, runS) = (cpu1 - cpu0, run1 - run0)
+      if (ok && sec < timingsBest.getOrElse(name, Double.MaxValue)) {
+        cpuOfBest(name) = (cpuS, runS)
+        timingsBest(name) = sec
+      }
+      System.err.println(
+        f"[bench] $tag $name $sec%.2fs cpu=$cpuS%.2fs run=$runS%.2fs${if (ok) "" else " FAILED"}")
       // Drop the blocks pinned by this run's eager localCheckpoints
       // (graph edge frames, OrderStats partitionings, ...) BEFORE the
       // next run. Checkpointed RDDs stay in the block manager until the
@@ -131,7 +177,16 @@ object Bench {
     slowest.foreach { case (n, v) => System.err.println(f"[bench]   $n $v%.2fs") }
     val loadAfter = loadAvg1m()
     System.err.println(s"[bench] loadavg before=$loadBefore after=$loadAfter retried=$retriedJson")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"complete":${failed.isEmpty},"retried":$retriedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
+    // cpu/run maps carry the executor metrics of each query's reported
+    // (min-wall) run. Placed LAST in the line: the driver stores a
+    // truncated tail, and the established fields must survive first.
+    def metricJson(sel: ((Double, Double)) => Double): String =
+      results.collect { case (k, (Some(_), _)) =>
+        cpuOfBest.get(k).map(v => "\"" + k + "\":" + sel(v)).getOrElse("")
+      }.filter(_.nonEmpty).mkString("{", ",", "}")
+    val cpuJson = metricJson(_._1)
+    val runJson = metricJson(_._2)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"complete":${failed.isEmpty},"retried":$retriedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir","cpu":$cpuJson,"run":$runJson}""")
     spark.stop()
   }
 }

@@ -53,10 +53,18 @@ def bench_json(path):
 
 def cmd_append(label, path):
     d = bench_json(path)
-    rows = [{"label": label, "query": q, "sec": s,
-             "loadavg_before": d.get("loadavg_before"),
-             "loadavg_after": d.get("loadavg_after")}
-            for q, s in d["queries"].items()]
+    cpu, run = d.get("cpu", {}), d.get("run", {})
+    rows = []
+    for q, s in d["queries"].items():
+        row = {"label": label, "query": q, "sec": s,
+               "loadavg_before": d.get("loadavg_before"),
+               "loadavg_after": d.get("loadavg_after")}
+        # executor metrics of the min-wall run (Bench round 8+)
+        if q in cpu:
+            row["cpu_s"] = cpu[q]
+        if q in run:
+            row["run_s"] = run[q]
+        rows.append(row)
     append_rows(rows)
 
 
