@@ -27,7 +27,23 @@ import org.apache.spark.sql.functions._
   *  - events keep their time span (10× density = same period, more
   *    traffic); ids shift.
   *
-  * Usage: `runMain graft.ScaleGen <srcDir> <outDir> [factor=10]`.
+  * SKEW MODE (round 8): real 100 TB corpora have Zipf keys, not the
+  * uniform growth above. `skewPct > 0` redirects that percentage of
+  * rows — deterministically, by key modulo, so runs are reproducible —
+  * onto a single hot entity per domain:
+  *  - orders: hot o_custkey (one customer holds skewPct% of all orders);
+  *  - lineitem: hot l_partkey + l_suppkey on the SAME orderkey parity,
+  *    so the orders⋈lineitem⋈part/supplier chains hit aligned hot keys;
+  *  - events: hot user_id (stresses sessionize / per-user windows);
+  *  - documents: a fixed hot sentence appended (hot shingles → hot
+  *    MinHash bands; the dedup DF caps must absorb it);
+  *  - embeddings: first 16 dims flipped positive (one hot sign-LSH
+  *    bucket holds skewPct% of vectors).
+  * Row counts and referential integrity are unchanged — only the key
+  * DISTRIBUTION moves, so skewed-vs-uniform wall time isolates the
+  * plan's skew sensitivity.
+  *
+  * Usage: `runMain graft.ScaleGen <srcDir> <outDir> [factor=10] [skewPct=0]`.
   * Output goes under target/ by convention — generated, never committed.
   */
 object ScaleGen {
@@ -36,7 +52,8 @@ object ScaleGen {
     val src = args(0)
     val out = args(1)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    require(factor >= 1)
+    val skewPct = args.lift(3).map(_.toInt).getOrElse(0)
+    require(factor >= 1 && skewPct >= 0 && skewPct < 100)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,6 +92,19 @@ object ScaleGen {
     def shifted(c: String, off: Long, i: Int): Column =
       (col(c) + lit(off * i)).as(c)
 
+    // Deterministic skew selector: a row is "hot" when its driving key
+    // falls in the first skewPct residues of 100.
+    def hot(key: String): Column = pct_hot(col(key))
+    def pct_hot(key: Column): Column = (key % 100) < skewPct
+    // Hot targets: copy-0's minimum key per domain (guaranteed to exist).
+    lazy val hotCust = maxKey(customer.agg(min(col("c_custkey")).as("k")), "k")
+    lazy val hotPart = maxKey(part.agg(min(col("p_partkey")).as("k")), "k")
+    lazy val hotSupp = maxKey(supplier.agg(min(col("s_suppkey")).as("k")), "k")
+    lazy val hotUser = maxKey(events.agg(min(col("user_id")).as("k")), "k")
+    def skewKey(sel: Column, c: String, off: Long, i: Int, target: Long): Column =
+      (if (skewPct == 0) col(c) + lit(off * i)
+       else when(sel, lit(target)).otherwise(col(c) + lit(off * i))).as(c)
+
     def scaled(df: DataFrame)(tx: Int => Seq[Column]): DataFrame =
       (0 until factor).map(i => df.select(tx(i): _*)).reduce(_.union(_))
 
@@ -98,31 +128,53 @@ object ScaleGen {
       col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
       col("p_retailprice"))), "part")
 
+    // Skew is driven by the fact row's OWN key parity (orderkey /
+    // event_id / doc_id / vec_id), so the orders and lineitem hot rows
+    // align on the same order keys and the join chains compound.
     write(scaled(orders)(i => Seq(shifted("o_orderkey", ordOff, i),
-      shifted("o_custkey", custOff, i), col("o_orderstatus"),
+      skewKey(hot("o_orderkey"), "o_custkey", custOff, i, hotCust),
+      col("o_orderstatus"),
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))),
       "orders")
 
     write(scaled(lineitem)(i => Seq(shifted("l_orderkey", ordOff, i),
-      shifted("l_partkey", partOff, i), shifted("l_suppkey", suppOff, i),
+      skewKey(hot("l_orderkey"), "l_partkey", partOff, i, hotPart),
+      skewKey(hot("l_orderkey"), "l_suppkey", suppOff, i, hotSupp),
       col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
       col("l_discount"), col("l_tax"), col("l_returnflag"),
       col("l_linestatus"), col("l_shipdate"))), "lineitem")
 
     write(scaled(events)(i => Seq(shifted("event_id", eventOff, i),
-      col("ts"), shifted("user_id", userOff, i), col("event_type"),
+      col("ts"),
+      skewKey(hot("event_id"), "user_id", userOff, i, hotUser),
+      col("event_type"),
       col("value"), col("props"))), "events")
 
     write(scaled(documents) { i =>
-      val txt = if (i == 0) col("text")
+      val base = if (i == 0) col("text")
         else regexp_replace(col("text"), lit(" "), lit(" " + i))
+      // Hot shingles: skewPct% of docs share one fixed sentence — every
+      // one of its shingles lands in the same MinHash bands, the
+      // worst case the dedup DF caps exist for.
+      val txt = if (skewPct == 0) base
+        else when(hot("doc_id"),
+          concat(base, lit(" the quick brown fox jumps over the lazy dog")))
+          .otherwise(base)
       Seq(shifted("doc_id", docOff, i), txt.as("text"), col("lang"),
         col("source"), length(txt).cast("long").as("n_chars"))
     }, "documents")
 
     write(scaled(embeddings) { i =>
-      val emb = if (i == 0) col("embedding")
+      val base = if (i == 0) col("embedding")
         else expr(s"transform(embedding, x -> CAST(x + ${i}e-4 AS FLOAT))")
+      // Hot sign-LSH bucket: first 16 dims forced positive on skewPct%
+      // of vectors — they all share one bucket at any bits <= 16.
+      val emb = if (skewPct == 0) base
+        else when(hot("vec_id"),
+          expr("transform(" + (if (i == 0) "embedding"
+            else s"transform(embedding, x -> CAST(x + ${i}e-4 AS FLOAT))") +
+            ", (x, idx) -> CAST(CASE WHEN idx < 16 THEN ABS(x) ELSE x END AS FLOAT))"))
+          .otherwise(base)
       Seq(shifted("vec_id", vecOff, i), emb.as("embedding"), col("label"))
     }, "embeddings")
 

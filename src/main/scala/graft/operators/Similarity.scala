@@ -422,12 +422,39 @@ object Similarity {
     * oracle mirroring the integer log2, so the gated plan is the
     * production plan at every sf.
     */
-  def annLshKnn(embeddings: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+  def annLshKnn(embeddings: DataFrame, k: Int, bits: Int = 8,
+      maxBucket: Int = Int.MaxValue, salts: Int = 1): DataFrame = {
     val b = signBucket(embeddings, bits)
+    // Hot-bucket guards (round-8 skew harness — one bucket holding 25%
+    // of the corpus showed 14.3× wall at UNCHANGED total CPU, the
+    // single-straggler signature, because the bucket is the join key so
+    // its pop² pairs were computed by ONE task):
+    //  1. `maxBucket` caps the CANDIDATE side to the lowest maxBucket
+    //     vec_ids per bucket (deterministic, SQL-mirrored) — any
+    //     bucket's pair space is bounded at pop·maxBucket. Uniform
+    //     buckets sit orders of magnitude below the cap, so small-sf
+    //     oracle results are unchanged; the skewed-corpus oracle replay
+    //     exercises the cap biting.
+    //  2. `salts` spreads each bucket's remaining pair production over
+    //     `salts` tasks: query side salted by hash(vec_id), candidate
+    //     side exploded ×salts. Pure partitioning change — the result
+    //     set is IDENTICAL, so the oracle needs no mirror.
+    // The cap window sorts only bucket populations (rows), never pairs.
+    val cand0 = if (maxBucket == Int.MaxValue) b else {
+      val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+      b.withColumn("__bp", row_number().over(w))
+        .filter(col("__bp") <= maxBucket).drop("__bp")
+    }
+    val (q, cand, saltCond) =
+      if (salts == 1) (b, cand0, lit(true))
+      else (
+        b.withColumn("__salt", pmod(hash(col("vec_id")), lit(salts))),
+        cand0.withColumn("__salt", explode(array((0 until salts).map(lit): _*))),
+        col("q.__salt") === col("c.__salt"))
     topK(
-      b.as("q")
-        .join(b.as("c"), col("q.bucket") === col("c.bucket") &&
-          col("q.vec_id") =!= col("c.vec_id"))
+      q.as("q")
+        .join(cand.as("c"), col("q.bucket") === col("c.bucket") &&
+          saltCond && col("q.vec_id") =!= col("c.vec_id"))
         .select(
           col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
           (dot(col("q.emb"), col("c.emb")) / (col("q.nrm") * col("c.nrm"))).as("cos")),

@@ -74,10 +74,18 @@ object Pipeline {
     // LENGTH(BIN(...)) scalar subquery. Bucket = signs of the first
     // `bits` dims (axis hyperplanes); candidates restricted to the
     // bucket, top-3 by exact cosine within it.
+    // maxBucket=512 is the hot-bucket straggler guard: on skewed data
+    // (one bucket holding 25% of vectors) it cuts the single-task pair
+    // space from pop² to pop·512 — measured 21.5s → see BENCH_SCALE
+    // skew section. Uniform buckets sit orders of magnitude below it,
+    // so small-sf oracle results are unchanged; the skewed-corpus
+    // oracle replay (check.py on the ScaleGen skew output) exercises
+    // the cap in its BITING state.
     "q_embed_ann_lsh" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.annLshKnn(Similarity.withNorm(emb), k = 3,
-        bits = Similarity.scaledBits(emb.count()))
+        bits = Similarity.scaledBits(emb.count()), maxBucket = 512,
+        salts = 8)
     },
 
     // Quality / length stats per document.
@@ -236,9 +244,12 @@ object Pipeline {
         |    list_slice(emb, 1, (SELECT bits FROM kn)),
         |    v -> CASE WHEN v > 0 THEN '1' ELSE '0' END), '') AS bucket
         |  FROM e),
+        |c AS (SELECT vec_id, emb, nrm, bucket FROM (
+        |  SELECT b.*, ROW_NUMBER() OVER (PARTITION BY bucket
+        |    ORDER BY vec_id) AS bp FROM b) x WHERE bp <= 512),
         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  list_inner_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
-        |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+        |  FROM b q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id, cos, rk FROM (
         |  SELECT query_id, neighbor_id, cos,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk

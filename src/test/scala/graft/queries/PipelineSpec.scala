@@ -148,6 +148,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(buckets(1L) !== buckets(3L))
   }
 
+  test("annLshKnn hot-bucket guards: cap bounds candidates, salt keeps results") {
+    // 60 vectors, ALL in one bucket (every dim positive) — the skew
+    // worst case. With maxBucket=8 the candidate side must be the 8
+    // lowest vec_ids; salting must not change the result set.
+    val vecs = (1L to 60L).map(i =>
+      (i, Array.fill(8)(0.001f * i + 0.01f)))
+    val e = Similarity.withNorm(vecs.toDF("vec_id", "embedding"))
+    val capped = Similarity.annLshKnn(e, k = 3, bits = 4, maxBucket = 8)
+    val rows = capped.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 <= 8L),
+      s"candidates past the cap: ${rows.filter(_._2 > 8L).take(3).toSeq}")
+    // Salting is partitioning-only: identical result set.
+    val salted = Similarity.annLshKnn(e, k = 3, bits = 4, maxBucket = 8,
+      salts = 4)
+    assert(salted.orderBy("query_id", "rk").collect().toSeq ===
+      capped.orderBy("query_id", "rk").collect().toSeq)
+  }
+
   test("scaledCells / scaledBits: exact knob arithmetic (oracle-mirrored)") {
     // scaledCells = max(16, ⌊√N⌋) — must equal the oracle's
     // GREATEST(16, FLOOR(SQRT(N))) at every N the gate can see.

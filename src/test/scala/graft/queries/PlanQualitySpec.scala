@@ -50,6 +50,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_embed_ann_lsh: hot-bucket cap and salt are in the gated plan") {
+    // Round-8 skew fix: one bucket holding 25% of vectors made the
+    // bucket-keyed join a single-task straggler (14.3× wall, flat CPU).
+    // The gated plan must keep BOTH guards: the candidate-side bucket
+    // cap (row_number window over bucket) and the salt spread (pmod of
+    // hash on the query side, explode on the candidate side).
+    val p = plan("q_embed_ann_lsh")
+    assert(p.contains("__salt"), "salt columns missing from plan\n" + p)
+    assert(p.toLowerCase.contains("explode"),
+      "candidate-side salt explode missing\n" + p)
+    assert(p.contains("row_number") || p.contains("RunningWindowFunction") ||
+      p.contains("Window"), "bucket-cap window missing\n" + p)
+  }
+
   test("headline aggregation runs inside WholeStageCodegen") {
     // AQE finalizes the physical plan lazily — execute, then inspect.
     val df = SparkEntry.queries("q1_agg")(spark, dir)
