@@ -38,6 +38,16 @@ object SparkEngine {
       // never flips mid-session; Tables.events keeps a lazy set as a
       // fallback for externally-built sessions (driver Verify/Bench).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Production state store for streaming state (sessionizeTws,
+      // heavy hitters, stream-stream joins): RocksDB keeps state off
+      // the JVM heap and bounded by compaction; changelog checkpointing
+      // makes the per-batch commit an append instead of a full SST
+      // upload. Measured (BENCH_STREAM.md): 15k-session state at a
+      // 0.8 MB checkpoint, exactly-once across restart.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       // Catalog-table sinks (Sinks.writeBucketed) land under a stable
       // scratch root instead of ./spark-warehouse in whatever cwd the
       // JVM happened to start in. Deployments override per cluster.

@@ -37,7 +37,8 @@ object Streams extends org.apache.spark.internal.Logging {
     * three-representation tolerance of Tables.events: raw NANOS (long),
     * micros TIMESTAMP, micros TIMESTAMP_NTZ.
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     // Probe failures are narrowed to "directory not readable / no footer
     // yet" (AnalysisException covers both empty-dir and missing-path in
     // Spark's reader). Anything else — a corrupt footer, an IO error — is
@@ -58,7 +59,7 @@ object Streams extends org.apache.spark.internal.Logging {
       case f if f.name == "ts" => f.copy(dataType = probed)
       case f => f
     })
-    val raw = spark.readStream.schema(schema).parquet(dir)
+    val raw = spark.readStream.schema(schema).options(options).parquet(dir)
     probed match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
