@@ -224,6 +224,21 @@ object Dedup {
     * 8-byte pairs; ~100M edges/partition fits executor defaults), and the
     * single-task finish only sees the contracted forest — `maxIter`
     * bounds extra distributed levels if that forest is still large.
+    *
+    * WORST CASE, measured (graft.tools.CcProbe, round 8): a 10M-edge
+    * PATH graph — diameter = edge count, the adversarial shape for any
+    * propagation scheme. Hash-scattered across partitions (each
+    * interior node's two edges usually in different partitions) the
+    * level-1 forest is ~0.9·N root-root edges (8.75M at 8 parts, 9.69M
+    * at 32), the >5M branch re-contracts it, and the graph resolves in
+    * 2 LEVELS — proven with maxIter = 3, where a deeper need would
+    * truncate composition and fail the single-component assertion.
+    * Path-ordered (range) layout needs only partition-boundary
+    * crossings (7 / 31 edges). 33-61s wall for the scattered 10M case
+    * at local[32]; correctness (every node → root 0) holds in all four
+    * layouts. The practical lever at 100 TB: co-partition candidate
+    * pairs by a locality-bearing key (band/bucket already does this)
+    * so the cross-partition forest stays near the range-layout end.
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val spark = pairs.sparkSession
