@@ -196,6 +196,82 @@ class HttpShellSpec extends AnyFunSuite {
     assert(get("/data/trains/delays?sorting=Sideways").statusCode() === 400)
   }
 
+  test("8 concurrent no-limit delays on a big table: identical bodies, bounded heap") {
+    // Round-8 load case: the streamed egress bounds DRIVER memory per
+    // request (toLocalIterator + 64 KB writer buffer); N concurrent
+    // whole-table requests multiply only that, never N × collect().
+    // Build a 200k-row CSV (~14 MB JSON body), digest the sequential
+    // baseline, then fire 8 full-table downloads at once consuming each
+    // response as a STREAM (the test must not hold bodies either).
+    val n = 200000
+    val sb = new StringBuilder("id,departure_delay,arrival_delay\n")
+    var i = 0
+    while (i < n) {
+      sb.append(i).append(',')
+      if (i % 13 != 0) sb.append((i * 7919) % 1440 - 60)
+      sb.append(',')
+      if (i % 17 != 0) sb.append((i * 104729) % 1440 - 30)
+      sb.append('\n')
+      i += 1
+    }
+    Files.writeString(Paths.get(lakeDir, "big.csv"), sb.toString)
+
+    def streamDigest(): (String, Long) = {
+      val r = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/data/big/delays?sorting=Desc"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofInputStream())
+      assert(r.statusCode() === 200)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val in = r.body()
+      val buf = new Array[Byte](64 * 1024)
+      var total = 0L
+      var k = in.read(buf)
+      while (k >= 0) {
+        md.update(buf, 0, k); total += k; k = in.read(buf)
+      }
+      in.close()
+      (md.digest().map("%02x".format(_)).mkString, total)
+    }
+
+    val rt = Runtime.getRuntime
+    def settledUsed(): Long = { System.gc(); Thread.sleep(200); rt.totalMemory() - rt.freeMemory() }
+    val (baseDigest, baseBytes) = streamDigest()
+    assert(baseBytes > 5L * 1024 * 1024, s"body unexpectedly small: $baseBytes")
+    val before = settledUsed()
+
+    @volatile var peak = 0L
+    val mon = new Thread(() => while (!Thread.interrupted()) {
+      peak = math.max(peak, rt.totalMemory() - rt.freeMemory())
+      try Thread.sleep(25) catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+    })
+    mon.setDaemon(true); mon.start()
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(8))
+    val results = Await.result(
+      Future.sequence(Seq.fill(8)(Future(streamDigest()))), 300.seconds)
+    mon.interrupt()
+    results.foreach { case (d, b) =>
+      assert(b === baseBytes, "concurrent body truncated or padded")
+      assert(d === baseDigest, "concurrent body diverged from baseline")
+    }
+    val after = settledUsed()
+    info(f"heap: before=${before / 1e6}%.0fMB peakDuring=${peak / 1e6}%.0fMB " +
+      f"settledAfter=${after / 1e6}%.0fMB body=${baseBytes / 1e6}%.1fMB x8")
+    // Retention bound: after the wave settles, the 8 full-table streams
+    // must leave nothing behind (a collect-based egress would retain
+    // ~8 x the Row-materialized table until GC of the handler refs —
+    // and show a far higher settled floor under this sampling).
+    assert(after - before < 512L * 1024 * 1024,
+      f"settled heap grew ${(after - before) / 1e6}%.0fMB after 8 streamed downloads")
+    Files.deleteIfExists(Paths.get(lakeDir, "big.csv"))
+  }
+
   test("concurrent mixed requests are isolated (axum serves in parallel)") {
     // The reference's Axum runtime handles requests concurrently; the
     // shell runs an 8-thread executor over ONE shared SparkSession. Fire
