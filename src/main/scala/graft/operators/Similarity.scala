@@ -91,11 +91,23 @@ object Similarity {
     * exact dot product.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-      bits: Int = 8): DataFrame = {
+      bits: Int = 8, salts: Int = 1): DataFrame = {
     val b = signBucket(embeddings, bits)
-    b.as("a")
-      .join(b.as("b"), col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
+    // Same hot-bucket straggler exposure as [[annLshKnn]] (the bucket is
+    // the join key → one task computes a hot bucket's pairs). Dedup
+    // semantics forbid a candidate CAP here (it would drop genuine
+    // near-dup pairs), but salting is free: left side salted by
+    // hash(vec_id), right side exploded ×salts — identical result set,
+    // the pair production spread over `salts` tasks.
+    val (l, r, saltCond) =
+      if (salts == 1) (b, b, lit(true))
+      else (
+        b.withColumn("__salt", pmod(hash(col("vec_id")), lit(salts))),
+        b.withColumn("__salt", explode(array((0 until salts).map(lit): _*))),
+        col("a.__salt") === col("b.__salt"))
+    l.as("a")
+      .join(r.as("b"), col("a.bucket") === col("b.bucket") &&
+        saltCond && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         (dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm"))).as("cos"))

@@ -142,9 +142,13 @@ object Extensions {
 
     // Embedding-cosine near-dup pairs (the dedup-family member over
     // vectors): sign-LSH candidates, exact-cosine >= 0.3 verify.
+    // salts=8 spreads each bucket's pair production across tasks
+    // (partitioning-only — identical pairs, no oracle change): the
+    // hot-bucket straggler guard, see BENCH_SCALE round-8 skew section.
     "q_dedup_embed" -> { (s, dir) =>
       Similarity.cosineNearDupPairs(
-        Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3, bits = 4)
+        Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3,
+        bits = 4, salts = 8)
     },
 
     // RANGE window frame: 7-day trailing revenue per customer — value

@@ -143,7 +143,8 @@ object Pipeline3 {
     // join+aggregate with checkpointed lineage, nothing driver-side.
     "q_dedup_semantic" -> { (s, dir) =>
       val pairs = Similarity.cosineNearDupPairs(
-        Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3, bits = 4)
+        Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3,
+        bits = 4, salts = 8)
       val clusters = Dedup.resolveClusters(pairs)
         .withColumnRenamed("doc_id", "vec_id")
       t(s, dir, "embeddings").select(col("vec_id"))
