@@ -168,6 +168,24 @@ class PipelineSpec extends AnyFunSuite {
       capped.orderBy("query_id", "rk").collect().toSeq)
   }
 
+  test("cosineNearDupPairs salting: identical pair set, no pair dropped") {
+    // 40 vectors, ALL in one bucket — dedup semantics forbid a cap, so
+    // salting is the only straggler guard and must be lossless: every
+    // ordered pair (a<b) above threshold appears exactly once at any
+    // salts setting.
+    val vecs = (1L to 40L).map(i => (i, Array.fill(8)(0.001f * i + 0.01f)))
+    val e = Similarity.withNorm(vecs.toDF("vec_id", "embedding"))
+    def pairs(salts: Int): Seq[(Long, Long)] =
+      Similarity.cosineNearDupPairs(e, threshold = 0.3, bits = 4,
+          salts = salts)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    val unsalted = pairs(1)
+    assert(unsalted.nonEmpty)
+    assert(unsalted.distinct === unsalted) // no duplicates
+    assert(pairs(4) === unsalted)
+    assert(pairs(8) === unsalted)
+  }
+
   test("scaledCells / scaledBits: exact knob arithmetic (oracle-mirrored)") {
     // scaledCells = max(16, ⌊√N⌋) — must equal the oracle's
     // GREATEST(16, FLOOR(SQRT(N))) at every N the gate can see.
