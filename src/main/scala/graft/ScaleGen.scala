@@ -101,7 +101,9 @@ object ScaleGen {
     lazy val hotPart = maxKey(part.agg(min(col("p_partkey")).as("k")), "k")
     lazy val hotSupp = maxKey(supplier.agg(min(col("s_suppkey")).as("k")), "k")
     lazy val hotUser = maxKey(events.agg(min(col("user_id")).as("k")), "k")
-    def skewKey(sel: Column, c: String, off: Long, i: Int, target: Long): Column =
+    // `target` is by-name: the hot-key lazy vals each cost a full-scan
+    // min() job, which the uniform (skewPct == 0) path must never force.
+    def skewKey(sel: Column, c: String, off: Long, i: Int, target: => Long): Column =
       (if (skewPct == 0) col(c) + lit(off * i)
        else when(sel, lit(target)).otherwise(col(c) + lit(off * i))).as(c)
 

@@ -72,6 +72,15 @@ final class HttpShell(spark: SparkSession, baseDir: String, port: Int = 3000) {
         respondJson(ex, 400, s"""{"error":"${esc(e.getMessage)}"}""")
       case e: DatasetLoadException =>
         respondJson(ex, 500, s"""{"error":"${esc(e.getMessage)}"}""")
+      // Fatal JVM errors (OutOfMemoryError, ...) must propagate, and
+      // loudly: com.sun.net.httpserver's dispatcher swallows anything a
+      // handler throws at FINER level, and attempting respondJson on an
+      // exchange whose 200 header is already committed (a mid-stream
+      // fatal escaping delays()) would mask the original error behind
+      // an IOException. Log to stderr first, then rethrow.
+      case e: Throwable if !scala.util.control.NonFatal(e) =>
+        System.err.println(s"[http] FATAL in ${ex.getRequestURI.getRawPath}: $e")
+        throw e
       case e: Throwable =>
         respondJson(ex, 500, s"""{"error":"${esc(String.valueOf(e.getMessage))}"}""")
     }

@@ -215,7 +215,13 @@ class HttpShellSpec extends AnyFunSuite {
       i += 1
     }
     Files.writeString(Paths.get(lakeDir, "big.csv"), sb.toString)
+    // Cleanup must survive assertion failures: a leftover big.csv would
+    // change what later HttpShell tests (and re-runs) observe.
+    try runLoadCase()
+    finally Files.deleteIfExists(Paths.get(lakeDir, "big.csv"))
+  }
 
+  private def runLoadCase(): Unit = {
     def streamDigest(): (String, Long) = {
       val r = client.send(
         HttpRequest.newBuilder(
@@ -250,12 +256,15 @@ class HttpShellSpec extends AnyFunSuite {
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
+    // Shut the pool down whatever happens: its 8 non-daemon threads
+    // would otherwise outlive the test for the rest of the suite run.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(
-        java.util.concurrent.Executors.newFixedThreadPool(8))
-    val results = Await.result(
-      Future.sequence(Seq.fill(8)(Future(streamDigest()))), 300.seconds)
-    mon.interrupt()
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val results =
+      try Await.result(
+        Future.sequence(Seq.fill(8)(Future(streamDigest()))), 300.seconds)
+      finally { mon.interrupt(); pool.shutdown() }
     results.foreach { case (d, b) =>
       assert(b === baseBytes, "concurrent body truncated or padded")
       assert(d === baseDigest, "concurrent body diverged from baseline")
@@ -269,7 +278,6 @@ class HttpShellSpec extends AnyFunSuite {
     // and show a far higher settled floor under this sampling).
     assert(after - before < 512L * 1024 * 1024,
       f"settled heap grew ${(after - before) / 1e6}%.0fMB after 8 streamed downloads")
-    Files.deleteIfExists(Paths.get(lakeDir, "big.csv"))
   }
 
   test("concurrent mixed requests are isolated (axum serves in parallel)") {
