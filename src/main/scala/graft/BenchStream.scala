@@ -62,8 +62,11 @@ object BenchStream {
     if (Files.isRegularFile(dir)) return Seq(dir) // single-file corpus
     val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     val ls = Files.list(dir)
+    // isRegularFile matters: an sf DIRECTORY's children are table
+    // directories named events.parquet etc. — those are not part files.
     try ls.iterator().forEachRemaining(p =>
-      if (p.getFileName.toString.endsWith(".parquet")) buf += p)
+      if (p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        buf += p)
     finally ls.close()
     buf.sortBy(_.getFileName.toString).toSeq
   }
@@ -90,8 +93,10 @@ object BenchStream {
   private val GapMs = 30L * 60 * 1000
 
   def main(args: Array[String]): Unit = {
-    val src = Paths.get(args(0))
-    val work = Paths.get(args(1))
+    // absolute first: a bare relative path ("events.parquet") has a
+    // null getParent, which the Tables base-dir lookup below needs.
+    val src = Paths.get(args(0)).toAbsolutePath.normalize()
+    val work = Paths.get(args(1)).toAbsolutePath.normalize()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkEngine.session(
       master = s"local[$cpus]", shufflePartitions = cpus.toInt)

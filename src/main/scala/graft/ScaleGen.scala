@@ -171,11 +171,13 @@ object ScaleGen {
         else expr(s"transform(embedding, x -> CAST(x + ${i}e-4 AS FLOAT))")
       // Hot sign-LSH bucket: first 16 dims forced positive on skewPct%
       // of vectors — they all share one bucket at any bits <= 16.
+      // Composes over `base` (the indexed transform lambda takes a
+      // Column) so the per-copy perturbation has ONE definition above —
+      // hot and cold vectors can't silently diverge if it changes.
       val emb = if (skewPct == 0) base
         else when(hot("vec_id"),
-          expr("transform(" + (if (i == 0) "embedding"
-            else s"transform(embedding, x -> CAST(x + ${i}e-4 AS FLOAT))") +
-            ", (x, idx) -> CAST(CASE WHEN idx < 16 THEN ABS(x) ELSE x END AS FLOAT))"))
+          transform(base, (x, idx) =>
+            when(idx < 16, abs(x)).otherwise(x).cast("float")))
           .otherwise(base)
       Seq(shifted("vec_id", vecOff, i), emb.as("embedding"), col("label"))
     }, "embeddings")

@@ -42,8 +42,8 @@ object SparkEngine {
       // heavy hitters, stream-stream joins): RocksDB keeps state off
       // the JVM heap and bounded by compaction; changelog checkpointing
       // makes the per-batch commit an append instead of a full SST
-      // upload. Measured (BENCH_STREAM.md): 15k-session state at a
-      // 0.8 MB checkpoint, exactly-once across restart.
+      // upload. Measured (BENCH_STREAM.md ×10): 15k-session state at
+      // 1.4–2.2 MB checkpoints, exactly-once across restart.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",

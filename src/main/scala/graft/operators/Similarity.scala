@@ -42,7 +42,11 @@ object Similarity {
     * ∝ N·targetBucket instead of N²/2^bits. Exact integer log2 via the
     * binary-string length (`bin` exists in BOTH engines, so the DuckDB
     * oracle replays the knob bit-for-bit):
-    * `LEAST(64, GREATEST(8, LENGTH(BIN((COUNT(*) + 15) // 16 - 1))))`.
+    * `LEAST(64, GREATEST(8, LENGTH(BIN(GREATEST((COUNT(*) + 15) // 16 - 1,
+    * 0)))))` — the inner GREATEST(…, 0) is the N=0 guard: DuckDB's
+    * BIN(-1) is 64 one-bits (length 64) where this method returns 8, so
+    * without it an empty corpus would diverge 64-vs-8 (harmless today —
+    * both sides emit zero rows — but the mirror must hold at every N).
     */
   def scaledBits(n: Long, targetBucket: Long = 16L, dim: Int = 64): Int = {
     val m = (n + targetBucket - 1) / targetBucket // buckets wanted (ceil)

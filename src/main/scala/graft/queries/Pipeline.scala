@@ -241,7 +241,7 @@ object Pipeline {
     "q_embed_ann_lsh" ->
       s"""WITH $embSql,
         |kn AS (SELECT LEAST(64, GREATEST(8,
-        |    LENGTH(BIN((COUNT(*) + 15) // 16 - 1)))) AS bits
+        |    LENGTH(BIN(GREATEST((COUNT(*) + 15) // 16 - 1, 0))))) AS bits
         |  FROM embeddings),
         |b AS (SELECT vec_id, emb, nrm,
         |  array_to_string(list_transform(

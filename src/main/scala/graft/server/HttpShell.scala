@@ -74,12 +74,18 @@ final class HttpShell(spark: SparkSession, baseDir: String, port: Int = 3000) {
         respondJson(ex, 500, s"""{"error":"${esc(e.getMessage)}"}""")
       // Fatal JVM errors (OutOfMemoryError, ...) must propagate, and
       // loudly: com.sun.net.httpserver's dispatcher swallows anything a
-      // handler throws at FINER level, and attempting respondJson on an
-      // exchange whose 200 header is already committed (a mid-stream
-      // fatal escaping delays()) would mask the original error behind
-      // an IOException. Log to stderr first, then rethrow.
+      // handler throws at FINER level. But rethrowing without touching
+      // the exchange leaves a pre-header fatal with NO response at all —
+      // a client with no read timeout (the JDK default) then blocks
+      // forever. So: log to stderr, make a BEST-EFFORT 500 (itself
+      // guarded — on an exchange whose 200 header is already committed,
+      // e.g. a mid-stream fatal escaping delays(), respondJson throws
+      // IOException and we must not let that mask the original error),
+      // then rethrow the original.
       case e: Throwable if !scala.util.control.NonFatal(e) =>
         System.err.println(s"[http] FATAL in ${ex.getRequestURI.getRawPath}: $e")
+        try respondJson(ex, 500, s"""{"error":"${esc(String.valueOf(e))}"}""")
+        catch { case _: Throwable => () }
         throw e
       case e: Throwable =>
         respondJson(ex, 500, s"""{"error":"${esc(String.valueOf(e.getMessage))}"}""")

@@ -196,7 +196,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.scaledCells(2025) === 45)   // perfect square edge
     assert(Similarity.scaledCells(60000) === 244)
     // scaledBits = min(64, max(8, ceil(log2(ceil(N/16))))) via binary
-    // string length — must equal LENGTH(BIN((N+15)//16 - 1)) clamped.
+    // string length — must equal LENGTH(BIN(GREATEST((N+15)//16 - 1, 0)))
+    // clamped (the GREATEST(…,0) guard is what makes N=0 give 8 in the
+    // oracle too; bare BIN(-1) is 64 one-bits in DuckDB).
     assert(Similarity.scaledBits(0) === 8)
     assert(Similarity.scaledBits(500) === 8)
     assert(Similarity.scaledBits(2000) === 8)
