@@ -53,7 +53,6 @@ object ScaleGen {
     val out = args(1)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val skewPct = args.lift(3).map(_.toInt).getOrElse(0)
-    require(factor >= 1 && skewPct >= 0 && skewPct < 100)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,6 +62,16 @@ object ScaleGen {
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, src, out, factor, skewPct)
+    finally spark.stop()
+  }
+
+  /** The generator body, session-injected so ScaleGenSpec can drive it
+    * on the shared test session (main owns session lifecycle).
+    */
+  def run(spark: SparkSession, src: String, out: String,
+      factor: Int, skewPct: Int): Unit = {
+    require(factor >= 1 && skewPct >= 0 && skewPct < 100)
 
     def t(name: String) = Tables(spark, src, name)
 
@@ -186,6 +195,5 @@ object ScaleGen {
       val c = Tables(spark, out, n).count()
       System.err.println(s"[scalegen] $n rows=$c")
     }
-    spark.stop()
   }
 }
