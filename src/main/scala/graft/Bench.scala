@@ -32,7 +32,11 @@ import org.apache.spark.sql.SparkSession
   * listener-bus flush, and the JSON line carries per-query `cpu`/`run`
   * second maps (of the min-wall run). Wall time can't distinguish "plan
   * does more work" from "machine was contended"; CPU can — the codec
-  * wall-ratio adjudications in BENCH_SCALE.md cite these.
+  * wall-ratio adjudications in BENCH_SCALE.md cite these. The same
+  * snapshot also carries `spill_disk` and `shuffle_write` byte maps
+  * (non-zero queries only): spill>0-but-completed is the
+  * memory-pressure evidence, and shuffle bytes is the per-query
+  * footprint the shuffle-minimization claims cite.
   *
   * Noise forensics (round 6): two driver rounds running were contaminated
   * by a contended bench machine (r4 ~1.27× inflated catalog-wide; r5 tail
@@ -57,19 +61,42 @@ object Bench {
     * around each query run (after a listener-bus flush, see
     * CoreBridge.flushListenerBus) so the delta is per-query exact.
     */
+  /** Per-query task-metric snapshot: cpu/run seconds plus the memory
+    * evidence (spill + shuffle bytes). Spill says whether a plan
+    * SURVIVES memory pressure by degrading (spill > 0, completes)
+    * instead of dying (OOM) — the property a 100 TB run actually needs;
+    * shuffle-write bytes is the per-query shuffle footprint the
+    * "minimize shuffles" claims can cite as a number.
+    */
+  private final case class MetricSnap(
+      cpuS: Double, runS: Double,
+      spillMem: Long, spillDisk: Long, shufWrite: Long) {
+    def -(o: MetricSnap): MetricSnap = MetricSnap(
+      cpuS - o.cpuS, runS - o.runS, spillMem - o.spillMem,
+      spillDisk - o.spillDisk, shufWrite - o.shufWrite)
+  }
+
   private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
     private val cpuNs = new java.util.concurrent.atomic.AtomicLong
     private val runMs = new java.util.concurrent.atomic.AtomicLong
+    private val spillMem = new java.util.concurrent.atomic.AtomicLong
+    private val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    private val shufWrite = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         cpuNs.addAndGet(m.executorCpuTime)
         runMs.addAndGet(m.executorRunTime)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
     }
-    /** (cpu seconds, run seconds) since listener registration. */
-    def snapshot(): (Double, Double) = (cpuNs.get / 1e9, runMs.get / 1e3)
+    /** Cumulative metrics since listener registration. */
+    def snapshot(): MetricSnap = MetricSnap(
+      cpuNs.get / 1e9, runMs.get / 1e3,
+      spillMem.get, spillDisk.get, shufWrite.get)
   }
 
   def main(args: Array[String]): Unit = {
@@ -81,9 +108,13 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     // Brief: bench runs at local[32].
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions default to the core count but can be pinned
+    // independently (SPARK_GRAFT_SHUFFLE_PARTITIONS) so partition-count
+    // sensitivity can be measured WITHOUT also changing parallelism.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Same nondeterministic AQE stage-wait stall as Verify (see there);
@@ -97,10 +128,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val cpuListener = new CpuListener
     spark.sparkContext.addSparkListener(cpuListener)
-    // Per-query executor CPU/run seconds from the run that produced the
+    // Per-query executor metrics from the run that produced the
     // reported (min) wall time — recorded so scale/noise adjudication
     // can cite CPU ∝ work instead of wall-clock on a contended box.
-    val cpuOfBest = scala.collection.mutable.Map[String, (Double, Double)]()
+    val cpuOfBest = scala.collection.mutable.Map[String, MetricSnap]()
     val timingsBest = scala.collection.mutable.Map[String, Double]()
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
@@ -110,7 +141,7 @@ object Bench {
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                tag: String): Option[Double] = {
       org.apache.spark.graftbridge.CoreBridge.flushListenerBus(spark.sparkContext)
-      val (cpu0, run0) = cpuListener.snapshot()
+      val before = cpuListener.snapshot()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -120,14 +151,14 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graftbridge.CoreBridge.flushListenerBus(spark.sparkContext)
-      val (cpu1, run1) = cpuListener.snapshot()
-      val (cpuS, runS) = (cpu1 - cpu0, run1 - run0)
+      val d = cpuListener.snapshot() - before
       if (ok && sec < timingsBest.getOrElse(name, Double.MaxValue)) {
-        cpuOfBest(name) = (cpuS, runS)
+        cpuOfBest(name) = d
         timingsBest(name) = sec
       }
       System.err.println(
-        f"[bench] $tag $name $sec%.2fs cpu=$cpuS%.2fs run=$runS%.2fs${if (ok) "" else " FAILED"}")
+        f"[bench] $tag $name $sec%.2fs cpu=${d.cpuS}%.2fs run=${d.runS}%.2fs" +
+          f" spill=${d.spillDisk}%d shw=${d.shufWrite}%d${if (ok) "" else " FAILED"}")
       // Drop the blocks pinned by this run's eager localCheckpoints
       // (graph edge frames, OrderStats partitionings, ...) BEFORE the
       // next run. Checkpointed RDDs stay in the block manager until the
@@ -180,13 +211,22 @@ object Bench {
     // cpu/run maps carry the executor metrics of each query's reported
     // (min-wall) run. Placed LAST in the line: the driver stores a
     // truncated tail, and the established fields must survive first.
-    def metricJson(sel: ((Double, Double)) => Double): String =
+    def metricJson(sel: MetricSnap => Double): String =
       results.collect { case (k, (Some(_), _)) =>
         cpuOfBest.get(k).map(v => "\"" + k + "\":" + sel(v)).getOrElse("")
       }.filter(_.nonEmpty).mkString("{", ",", "}")
-    val cpuJson = metricJson(_._1)
-    val runJson = metricJson(_._2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"complete":${failed.isEmpty},"retried":$retriedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir","cpu":$cpuJson,"run":$runJson}""")
+    val cpuJson = metricJson(_.cpuS)
+    val runJson = metricJson(_.runS)
+    // Spill/shuffle maps only list non-zero queries (most spill nothing;
+    // keeping the line compact protects the driver's truncated tail).
+    def bytesJson(sel: MetricSnap => Long): String =
+      results.collect { case (k, (Some(_), _)) =>
+        cpuOfBest.get(k).filter(v => sel(v) > 0)
+          .map(v => "\"" + k + "\":" + sel(v)).getOrElse("")
+      }.filter(_.nonEmpty).mkString("{", ",", "}")
+    val spillJson = bytesJson(_.spillDisk)
+    val shufJson = bytesJson(_.shufWrite)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"complete":${failed.isEmpty},"retried":$retriedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir","cpu":$cpuJson,"run":$runJson,"spill_disk":$spillJson,"shuffle_write":$shufJson}""")
     spark.stop()
   }
 }

@@ -54,6 +54,7 @@ def bench_json(path):
 def cmd_append(label, path):
     d = bench_json(path)
     cpu, run = d.get("cpu", {}), d.get("run", {})
+    spill, shuf = d.get("spill_disk", {}), d.get("shuffle_write", {})
     rows = []
     for q, s in d["queries"].items():
         row = {"label": label, "query": q, "sec": s,
@@ -64,6 +65,11 @@ def cmd_append(label, path):
             row["cpu_s"] = cpu[q]
         if q in run:
             row["run_s"] = run[q]
+        # spill/shuffle bytes of the min-wall run (non-zero only)
+        if q in spill:
+            row["spill_disk"] = spill[q]
+        if q in shuf:
+            row["shuffle_write"] = shuf[q]
         rows.append(row)
     append_rows(rows)
 
