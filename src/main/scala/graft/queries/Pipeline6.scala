@@ -218,9 +218,27 @@ object Pipeline6 {
       // init + the final degree join) and each lazy reference would
       // re-run the 4.5M-edge pass — checkpoint the ~node-sized result
       // once (round 6), same AQE-off bracket so the layout survives.
+      // The edge frame is DATA-sized (~4.5M rows per sf0.1-equivalent),
+      // so its checkpoint goes to DISK_ONLY: both in-memory levels are
+      // heap-proportional to the DATA through the 32-way-concurrent
+      // block unroll, which is unmanaged allocation that outruns its
+      // own size estimates — measured at a 2 GiB heap on the ×10
+      // corpus, MEMORY_AND_DISK dies in UnsafeRow copies and
+      // MEMORY_AND_DISK_SER kills the JVM in SerializedValuesHolder
+      // chunk allocation, BEFORE any task can spill. DISK_ONLY streams
+      // each partition straight to local disk — the same shape as a
+      // shuffle file, and exactly what a 1000-executor run does with
+      // its edge partitions; executor memory then serves only
+      // execution (sorts/aggs), which degrades by spilling instead of
+      // dying (404 MB spilled, completed, at a 3 GiB heap). Warm-path
+      // cost at the standard 24 GiB heap: +23% wall (10.8→13.3s at
+      // ×10) — serde CPU on the 4 edge reads, the price of being
+      // memory-independent. The node-sized degree frame stays at the
+      // default in-memory level.
       val (ew, deg) =
         try {
-          val e = edges.localCheckpoint()
+          val e = edges.localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.DISK_ONLY)
           (e, e.groupBy(col("src")).agg(max(col("d")).as("d")).localCheckpoint())
         } finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       var pr = deg.select(col("src").as("node"), lit(1.0).as("pr"))
@@ -279,7 +297,10 @@ object Pipeline6 {
       s.conf.set("spark.sql.adaptive.enabled", "false")
       val levels =
         try {
-          val edges = edgePlan.localCheckpoint()
+          // DISK_ONLY for the data-sized edge frame (see q_pagerank):
+          // frontier levels are seed-bounded and stay in memory.
+          val edges = edgePlan.localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.DISK_ONLY)
           // Frontier levels carry no visited-set subtraction: a node can
           // re-enter at a later hop and the final min(hop) picks its true
           // distance. Each level is localCheckpoint-ed: level h is then
