@@ -10,6 +10,26 @@ import org.apache.spark.sql.SparkSession
   * operators instead (see [[graft.operators]]).
   */
 object SparkEngine {
+  /** Broadcast-join threshold derated for small heaps.
+    *
+    * Spark's 10 MB `spark.sql.autoBroadcastJoinThreshold` is static: the
+    * planner compares it against the build side's ESTIMATED (compressed,
+    * columnar) size, but BroadcastExchangeExec then materializes the
+    * deserialized rows PLUS a LongToUnsafeRowMap/BytesToBytesMap on the
+    * driver — routinely 10–30× the estimate — and guards the build with
+    * "Not enough memory to build and broadcast the table". On a 2 GiB
+    * heap the sf1 memory sweep (BENCH_MEM.md) hit exactly that guard on
+    * two dedup queries whose build sides pass the 10 MB estimate. A
+    * threshold the heap cannot actually honor is a misconfiguration, so
+    * sessions derate it linearly below ~5 GiB: heap/512 (2 GiB → 4 MiB),
+    * which flips the marginal builds to sort-merge — slower, bounded,
+    * completes. At production heaps (≥ 5 GiB) this returns Spark's stock
+    * 10 MB and plans are bit-identical to an unconfigured session.
+    */
+  def broadcastThreshold(
+      maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Long =
+    math.min(10L << 20, maxHeapBytes / 512)
+
   /** Pinned conf mirrors SURVEY.md §7 phase A: UTC, no UI, shuffle
     * partitions sized for local cores rather than the 200 default.
     */
@@ -24,6 +44,9 @@ object SparkEngine {
       // production session should have both.
       .withExtensions(new graft.plans.GraftExtensions().apply)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // Heap-aware broadcast ceiling — see broadcastThreshold above.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        broadcastThreshold().toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
