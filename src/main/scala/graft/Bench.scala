@@ -112,22 +112,67 @@ object Bench {
     // independently (SPARK_GRAFT_SHUFFLE_PARTITIONS) so partition-count
     // sensitivity can be measured WITHOUT also changing parallelism.
     val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufParts)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Same nondeterministic AQE stage-wait stall as Verify (see there);
-      // at local bench scale AQE only adds variance, so pin it off for
-      // stable, comparable numbers. Production sessions (SparkEngine)
-      // keep AQE on.
-      .config("spark.sql.adaptive.enabled", "false")
-      // See SparkEngine: ICU case-mapping static init can stall minutes.
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ONE listener instance across any session rebuild: its counters are
+    // cumulative, so per-query deltas stay correct through a restart.
     val cpuListener = new CpuListener
-    spark.sparkContext.addSparkListener(cpuListener)
+    def buildSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", shufParts)
+        // Heap-aware broadcast ceiling (SparkEngine.broadcastThreshold):
+        // stock 10 MB at ≥5 GiB heap (plans identical to every prior
+        // round's bench), derated below so a memory-pressure sweep
+        // measures spill behavior instead of tripping Spark's
+        // broadcast-build guard on builds the heap can't hold.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+          SparkEngine.broadcastThreshold().toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // Same nondeterministic AQE stage-wait stall as Verify (see there);
+        // at local bench scale AQE only adds variance, so pin it off for
+        // stable, comparable numbers. Production sessions (SparkEngine)
+        // keep AQE on.
+        .config("spark.sql.adaptive.enabled", "false")
+        // See SparkEngine: ICU case-mapping static init can stall minutes.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s.sparkContext.addSparkListener(cpuListener)
+      s
+    }
+    var spark = buildSession()
+    // An executor-thread OOM in local mode stops the whole SparkContext;
+    // without a rebuild, every remaining query "fails" in 10ms with
+    // "Cannot call methods on a stopped SparkContext" and one bad query
+    // voids the rest of the run (observed: a 2 GiB-heap sweep lost 20
+    // queries to one OOM). A memory-pressure bench needs per-query
+    // failure isolation, so each run starts from a live session.
+    def session(): SparkSession = {
+      if (spark.sparkContext.isStopped) {
+        System.err.println("[bench] SparkContext is stopped — rebuilding session")
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        // The OOM-triggered stop() runs on another thread and only clears
+        // the active-context registration at its END; until then
+        // getOrCreate hands back the stopping context and the new
+        // SparkSession's assertNotStopped throws (observed in the 2 GiB
+        // sweep: the rebuild itself died mid-stop). Wait it out.
+        var built: SparkSession = null
+        var attempt = 0
+        while (built == null) {
+          attempt += 1
+          try built = buildSession()
+          catch {
+            case e: IllegalStateException if attempt < 60 =>
+              Thread.sleep(500)
+              SparkSession.clearActiveSession()
+              SparkSession.clearDefaultSession()
+          }
+        }
+        spark = built
+      }
+      spark
+    }
     // Per-query executor metrics from the run that produced the
     // reported (min) wall time — recorded so scale/noise adjudication
     // can cite CPU ∝ work instead of wall-clock on a contended box.
@@ -140,17 +185,27 @@ object Bench {
     // must not be able to improve the min-over-passes headline number.
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                tag: String): Option[Double] = {
-      org.apache.spark.graftbridge.CoreBridge.flushListenerBus(spark.sparkContext)
+      // A rebuild that cannot produce a live session within its retry
+      // budget fails THIS query, not the whole run.
+      val s = try session() catch {
+        case e: Exception =>
+          System.err.println(s"[bench] $name failed: session rebuild: ${e.getMessage}")
+          return None
+      }
+      org.apache.spark.graftbridge.CoreBridge.flushListenerBus(s.sparkContext)
       val before = cpuListener.snapshot()
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { fn(s, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      org.apache.spark.graftbridge.CoreBridge.flushListenerBus(spark.sparkContext)
+      // Post-run bookkeeping is best-effort: a query that stopped the
+      // context mid-run can't be flushed (the next runOne rebuilds).
+      if (!s.sparkContext.isStopped)
+        org.apache.spark.graftbridge.CoreBridge.flushListenerBus(s.sparkContext)
       val d = cpuListener.snapshot() - before
       if (ok && sec < timingsBest.getOrElse(name, Double.MaxValue)) {
         cpuOfBest(name) = d
@@ -167,8 +222,9 @@ object Bench {
       // squeeze execution memory, and surface as the multi-minute GC /
       // time-to-safepoint stalls both contaminated driver rounds showed.
       // Outside the timed window; the finished query's frames are dead.
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+      if (!s.sparkContext.isStopped)
+        s.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
       if (ok) Some(sec) else None
     }
     val timings = (1 to passes).map { pass =>
