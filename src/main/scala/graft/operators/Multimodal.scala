@@ -63,8 +63,24 @@ object Multimodal {
   object ImageIoDecoder extends ImageDecoder {
     import javax.imageio.ImageIO
 
+    /** Memory-backed image stream over an in-memory payload.
+      *
+      * NEVER `ImageIO.createImageInputStream` here: with the default
+      * `ImageIO.getUseCache` it wraps the stream in a
+      * FileCacheImageInputStream — `Files.createTempFile` PER IMAGE.
+      * At 32 executor threads over 40k payloads that serializes on the
+      * tmpdir's directory lock; jstack showed 20–28 of 32 task threads
+      * parked in TempFileHelper.create, and the same query ran
+      * bimodally at 195s vs 1270s of executor CPU depending on dentry
+      * cache state. The payload is already a byte array — a disk cache
+      * buys nothing. Same rule for the encode side below.
+      */
+    private def memStream(bytes: Array[Byte]) =
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+
     override def meta(bytes: Array[Byte]): (Int, Int, String) = {
-      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      val iis = memStream(bytes)
       try {
         val readers = ImageIO.getImageReaders(iis)
         if (!readers.hasNext)
@@ -109,15 +125,25 @@ object Multimodal {
     }
 
     private[operators] def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
-      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(InputStream) would route through the tempfile-backed
+      // cache stream (see memStream); hand it the memory stream instead
+      // (this overload closes it on return).
+      val img = ImageIO.read(memStream(bytes))
       if (img == null)
         throw new UndecodablePayload(s"no image reader for ${bytes.length} bytes")
       img
     }
 
     private[operators] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      // ImageIO.write(.., OutputStream) wraps a FileCacheImageOutputStream
+      // by default — one temp file per ENCODED image; same per-image
+      // tmpdir serialization as the read side. Memory-backed instead.
       val bos = new java.io.ByteArrayOutputStream()
-      ImageIO.write(img, "png", bos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        if (!ImageIO.write(img, "png", ios))
+          throw new UndecodablePayload("no png writer registered")
+      } finally ios.close()
       bos.toByteArray
     }
   }
