@@ -36,6 +36,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // concurrent tasks (evidence: -Xlog flight-recorder, documented in
   // IMPLEMENTATION.md). Headroom is cheaper than a stop-the-world.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Pin AND pre-fault the heap. G1 uncommits regions between cycles;
+  // re-committed pages fault in on first touch, and with 32
+  // allocation-heavy executor threads the fault storm serializes on the
+  // process memory-map lock — kernel time billed to the faulting task
+  // threads. Observed: identical codec passes at sf3 ran bimodally,
+  // 25-50s vs up to 1700s of executor CPU (jcmd per-thread deltas showed
+  // the burn inside Deflater on unchanged input). -Xms=-Xmx stops the
+  // uncommit cycle, AlwaysPreTouch pays every fault once at JVM start;
+  // with both, the runaway mode is gone (worst pass = JIT warmup).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
   // Whole-stage codegen loads one Janino class per stage; across a
   // 42-query catalog the default 240m code cache fills, the JIT stops
   // compiling, and late queries run interpreted (observed 10-50×

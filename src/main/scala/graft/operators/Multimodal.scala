@@ -61,36 +61,83 @@ object Multimodal {
     * [[graft.operators.Similarity]] directly.
     */
   object ImageIoDecoder extends ImageDecoder {
-    import javax.imageio.ImageIO
+    import javax.imageio.{ImageIO, ImageReader}
+    import javax.imageio.spi.{IIORegistry, ImageReaderSpi}
 
-    /** Memory-backed image stream over an in-memory payload.
+    /** The convenience `ImageIO` entry points take TWO global monitors
+      * per image, and at 32 executor threads over 40k in-memory payloads
+      * each becomes a contended lock with adaptive-spin CPU burn — the
+      * decode queries ran BIMODALLY (54s vs 1638s executor CPU for the
+      * same pass, depending on whether the monitors stayed inflated):
       *
-      * NEVER `ImageIO.createImageInputStream` here: with the default
-      * `ImageIO.getUseCache` it wraps the stream in a
-      * FileCacheImageInputStream — `Files.createTempFile` PER IMAGE.
-      * At 32 executor threads over 40k payloads that serializes on the
-      * tmpdir's directory lock; jstack showed 20–28 of 32 task threads
-      * parked in TempFileHelper.create, and the same query ran
-      * bimodally at 195s vs 1270s of executor CPU depending on dentry
-      * cache state. The payload is already a byte array — a disk cache
-      * buys nothing. Same rule for the encode side below.
+      *  1. `ImageIO.getImageReaders` / `getImageWritersByFormatName`
+      *     iterate the IIORegistry under its per-category SubRegistry
+      *     monitor — jstack showed task threads BLOCKED there.
+      *  2. Every javax.imageio.stream cache stream (File AND Memory
+      *     variants) registers with the `sun.java2d.Disposer` singleton
+      *     in its constructor — a second global monitor per image. The
+      *     File variants additionally create one TEMP FILE per image
+      *     (`Files.createTempFile` serializing on the tmpdir lock).
+      *
+      * So: the registry is consulted ONCE (class init) for the reader
+      * SPI list; reader INSTANCES are cached per executor thread (they
+      * are reusable but not thread-safe); payloads are wrapped in the
+      * plain ImageInputStreamImpl subclass below — a pure byte-array
+      * stream, no Disposer, no temp files, no locks; and PNG ENCODE
+      * bypasses javax.imageio entirely ([[PngOut]] — the JDK writer's
+      * native-Deflater-per-image was the third per-image hazard, see
+      * encodePng). Measured at sf1: q_multimodal_imageio 9.45s → 0.9s
+      * wall / 195s → 8s executor CPU, and the 1600s-CPU slow mode is
+      * gone.
       */
-    private def memStream(bytes: Array[Byte]) =
-      new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+    private val readerSpis: Array[ImageReaderSpi] = {
+      val it = IIORegistry.getDefaultInstance
+        .getServiceProviders(classOf[ImageReaderSpi], true)
+      val b = Array.newBuilder[ImageReaderSpi]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+
+    private val threadReaders =
+      ThreadLocal.withInitial[java.util.HashMap[ImageReaderSpi, ImageReader]](
+        () => new java.util.HashMap)
+
+
+    /** Format-sniff against the cached SPI list (each `canDecodeInput`
+      * reads a few magic bytes and restores the stream position), then
+      * reuse this thread's reader instance for the winning format.
+      */
+    private def readerFor(iis: javax.imageio.stream.ImageInputStream,
+        nBytes: Int): ImageReader = {
+      var i = 0
+      while (i < readerSpis.length) {
+        val spi = readerSpis(i)
+        // ImageIO.getImageReaders treats an IOException from a probe as
+        // "can't decode" (e.g. BMP's SPI readFully-throws EOF on a
+        // payload shorter than its magic); a throwing probe may also
+        // skip its own position reset, so rewind before the next one.
+        val pos = iis.getStreamPosition
+        val ok =
+          try spi.canDecodeInput(iis)
+          catch { case _: java.io.IOException => iis.seek(pos); false }
+        if (ok) {
+          val cache = threadReaders.get()
+          var r = cache.get(spi)
+          if (r == null) { r = spi.createReaderInstance(); cache.put(spi, r) }
+          return r
+        }
+        i += 1
+      }
+      throw new UndecodablePayload(s"no image reader for $nBytes bytes")
+    }
 
     override def meta(bytes: Array[Byte]): (Int, Int, String) = {
-      val iis = memStream(bytes)
+      val iis = new ByteArrayImageInputStream(bytes)
+      val r = readerFor(iis, bytes.length)
       try {
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext)
-          throw new UndecodablePayload(s"no image reader for ${bytes.length} bytes")
-        val r = readers.next()
-        try {
-          r.setInput(iis, true, true)
-          (r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase(java.util.Locale.ROOT))
-        } finally r.dispose()
-      } finally iis.close()
+        r.setInput(iis, true, true)
+        (r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+      } finally r.reset() // clears input; instance stays cached for reuse
     }
 
     override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -125,28 +172,145 @@ object Multimodal {
     }
 
     private[operators] def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
-      // ImageIO.read(InputStream) would route through the tempfile-backed
-      // cache stream (see memStream); hand it the memory stream instead
-      // (this overload closes it on return).
-      val img = ImageIO.read(memStream(bytes))
-      if (img == null)
-        throw new UndecodablePayload(s"no image reader for ${bytes.length} bytes")
-      img
+      val iis = new ByteArrayImageInputStream(bytes)
+      val r = readerFor(iis, bytes.length)
+      try {
+        r.setInput(iis, true, true)
+        r.read(0)
+      } finally r.reset()
     }
 
+    /** PNG encode WITHOUT PNGImageWriter: the JDK writer allocates a
+      * fresh native Deflater (≈ a quarter-MB mmap'd zlib window) per
+      * image, and at 40k images × 32 threads the mmap/munmap + first-
+      * touch page-fault traffic serializes on the process memory-map
+      * lock — jstack showed all 32 task threads "running" inside
+      * `Deflater.deflateBytesBytes` while the pass burned up to 30× the
+      * CPU of an identical lucky pass (Cleaner timing decides how much
+      * native churn accumulates). [[PngOut]] reuses ONE Deflater per
+      * executor thread for the engine's whole lifetime.
+      */
     private[operators] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
-      // ImageIO.write(.., OutputStream) wraps a FileCacheImageOutputStream
-      // by default — one temp file per ENCODED image; same per-image
-      // tmpdir serialization as the read side. Memory-backed instead.
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-      try {
-        if (!ImageIO.write(img, "png", ios))
-          throw new UndecodablePayload("no png writer registered")
-      } finally ios.close()
-      bos.toByteArray
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        PngOut.encodeGray(w, h, data)
+      } else {
+        // Filter-0 truecolor scanlines from the ARGB accessor (alpha
+        // dropped — parity with the opaque PNGs the JDK writer emitted).
+        val raw = new Array[Byte]((w * 3 + 1) * h)
+        var y = 0
+        var p = 0
+        while (y < h) {
+          raw(p) = 0; p += 1
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            raw(p) = ((rgb >> 16) & 0xff).toByte
+            raw(p + 1) = ((rgb >> 8) & 0xff).toByte
+            raw(p + 2) = (rgb & 0xff).toByte
+            p += 3
+            x += 1
+          }
+          y += 1
+        }
+        PngOut.encode(w, h, colorType = 2, raw)
+      }
     }
   }
+
+  /** Minimal PNG container writer (signature + IHDR + one IDAT + IEND,
+    * filter 0, bit depth 8, no interlace) over a PER-THREAD reused
+    * java.util.zip.Deflater — see ImageIoDecoder.encodePng for why the
+    * JDK writer's Deflater-per-image is a scale hazard. Readers don't
+    * care that the IDAT is a single chunk; every PNG decoder (including
+    * the JDK's) round-trips these byte-exactly.
+    */
+  private[operators] object PngOut {
+    private val deflaters =
+      ThreadLocal.withInitial[java.util.zip.Deflater](
+        () => new java.util.zip.Deflater())
+
+    /** Gray 8-bit: scanlines built here from the packed pixel array. */
+    def encodeGray(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+      val raw = new Array[Byte]((w + 1) * h)
+      var y = 0
+      while (y < h) {
+        // filter byte 0 at raw(y*(w+1)); rows beyond the pixel tail stay 0
+        val src = y * w
+        val n = math.max(0, math.min(w, pixels.length - src))
+        if (n > 0) System.arraycopy(pixels, src, raw, y * (w + 1) + 1, n)
+        y += 1
+      }
+      encode(w, h, colorType = 0, raw)
+    }
+
+    /** `raw` = filter-prefixed scanlines for the given color type. */
+    def encode(w: Int, h: Int, colorType: Int, raw: Array[Byte]): Array[Byte] = {
+      val d = deflaters.get()
+      d.reset()
+      d.setInput(raw)
+      d.finish()
+      val comp = new java.io.ByteArrayOutputStream(raw.length / 2 + 256)
+      val buf = new Array[Byte](64 * 1024)
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        if (n > 0) comp.write(buf, 0, n)
+      }
+      val idat = comp.toByteArray
+      val out = java.nio.ByteBuffer.allocate(8 + 25 + (12 + idat.length) + 12)
+      out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w).putInt(h)
+        .put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      writeChunk(out, "IHDR", ihdr.array())
+      writeChunk(out, "IDAT", idat)
+      writeChunk(out, "IEND", Array.emptyByteArray)
+      out.array()
+    }
+
+    private def writeChunk(out: java.nio.ByteBuffer, typ: String,
+        data: Array[Byte]): Unit = {
+      out.putInt(data.length)
+      val t = typ.getBytes(StandardCharsets.US_ASCII)
+      out.put(t)
+      out.put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t)
+      crc.update(data)
+      out.putInt(crc.getValue.toInt)
+    }
+  }
+
+  /** Pure in-memory ImageInputStream. Unlike every stock
+    * javax.imageio.stream implementation it touches NO global state —
+    * no sun.java2d.Disposer registration, no temp file — so per-image
+    * construction at 32 threads is allocation-only (see ImageIoDecoder).
+    */
+  private final class ByteArrayImageInputStream(buf: Array[Byte])
+      extends javax.imageio.stream.ImageInputStreamImpl {
+    override def read(): Int = {
+      bitOffset = 0
+      if (streamPos >= buf.length) -1
+      else { val b = buf(streamPos.toInt) & 0xff; streamPos += 1; b }
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      bitOffset = 0
+      if (streamPos >= buf.length) -1
+      else {
+        val n = math.min(len, buf.length - streamPos.toInt)
+        System.arraycopy(buf, streamPos.toInt, b, off, n)
+        streamPos += n
+        n
+      }
+    }
+    override def length(): Long = buf.length.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+  }
+
 
   /** Deterministic fake: dimensions and features derived from the bytes
     * themselves, so tests are stable and the oracle-free path is still
@@ -198,12 +362,9 @@ object Multimodal {
             val n = bytes.length
             val w = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
             val h = math.max(1, (n + w - 1) / w)
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val raster = img.getRaster
-            var i = 0
-            while (i < n) { raster.setSample(i % w, i / w, 0, bytes(i) & 0xff); i += 1 }
-            ImageIoDecoder.encodePng(img)
+            // Straight to scanlines — no BufferedImage/raster on the
+            // encode side; PngOut zero-pads the w·h − n tail.
+            PngOut.encodeGray(w, h, bytes)
           }
         Row.fromSeq(row.toSeq :+ png)
       }
