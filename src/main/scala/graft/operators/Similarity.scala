@@ -95,7 +95,7 @@ object Similarity {
     * exact dot product.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-      bits: Int = 8, salts: Int = 1): DataFrame = {
+      bits: Int = 8, salts: Int = 1, taskPairBudget: Long = 0L): DataFrame = {
     val b = signBucket(embeddings, bits)
     // Same hot-bucket straggler exposure as [[annLshKnn]] (the bucket is
     // the join key → one task computes a hot bucket's pairs). Dedup
@@ -103,8 +103,36 @@ object Similarity {
     // near-dup pairs), but salting is free: left side salted by
     // hash(vec_id), right side exploded ×salts — identical result set,
     // the pair production spread over `salts` tasks.
+    //
+    // A FIXED salt count is itself a scale knob that goes stale (measured
+    // round 8 at ×100/25%-hot: the hot bucket's 1.25e9 real pairs spread
+    // over exactly salts=8 tasks — wall 5.1× uniform vs CPU 2.7×, the
+    // straggler signature at the next decade). `taskPairBudget > 0`
+    // derives the salt count PER BUCKET from its observed population:
+    // s(bucket) = clamp(ceil(pop² / budget), salts, 1024), so a bucket's
+    // pair production lands in ~pop²/budget tasks regardless of skew,
+    // while cold buckets keep s = `salts` and pay nothing. The histogram
+    // is one cheap groupBy over ≤2^bits rows, broadcast back — the same
+    // observe-then-partition move as AQE's skew-join split, applied to a
+    // self-join AQE cannot rewrite. Salt counts shape PARTITIONING only:
+    // every (a<b) pair still meets exactly once (left carries one salt,
+    // right is exploded to all of its bucket's salts).
     val (l, r, saltCond) =
-      if (salts == 1) (b, b, lit(true))
+      if (taskPairBudget > 0L) {
+        val floorS = math.max(1, salts).toLong
+        val pops = b.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("__pop"))
+          .withColumn("__s", least(lit(1024L), greatest(lit(floorS),
+            ceil(col("__pop").cast("double") * col("__pop") /
+              lit(taskPairBudget.toDouble)).cast("long")))
+            .cast("int"))
+          .select(col("bucket"), col("__s"))
+        val bs = b.join(broadcast(pops), Seq("bucket"))
+        (bs.withColumn("__salt", pmod(hash(col("vec_id")), col("__s"))),
+          bs.withColumn("__salt",
+            explode(sequence(lit(0), col("__s") - 1))),
+          col("a.__salt") === col("b.__salt"))
+      } else if (salts == 1) (b, b, lit(true))
       else (
         b.withColumn("__salt", pmod(hash(col("vec_id")), lit(salts))),
         b.withColumn("__salt", explode(array((0 until salts).map(lit): _*))),

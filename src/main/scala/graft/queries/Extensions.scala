@@ -142,13 +142,15 @@ object Extensions {
 
     // Embedding-cosine near-dup pairs (the dedup-family member over
     // vectors): sign-LSH candidates, exact-cosine >= 0.3 verify.
-    // salts=8 spreads each bucket's pair production across tasks
-    // (partitioning-only — identical pairs, no oracle change): the
-    // hot-bucket straggler guard, see BENCH_SCALE round-8 skew section.
+    // Adaptive per-bucket salting (floor 8, ~16M pair-checks per task)
+    // spreads each bucket's pair production over as many tasks as its
+    // observed population requires (partitioning-only — identical
+    // pairs, no oracle change): the hot-bucket straggler guard, see
+    // BENCH_SCALE round-8 skew + ×100 sections.
     "q_dedup_embed" -> { (s, dir) =>
       Similarity.cosineNearDupPairs(
         Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3,
-        bits = 4, salts = 8)
+        bits = 4, salts = 8, taskPairBudget = 16000000L)
     },
 
     // RANGE window frame: 7-day trailing revenue per customer — value

@@ -144,7 +144,7 @@ object Pipeline3 {
     "q_dedup_semantic" -> { (s, dir) =>
       val pairs = Similarity.cosineNearDupPairs(
         Similarity.withNorm(t(s, dir, "embeddings")), threshold = 0.3,
-        bits = 4, salts = 8)
+        bits = 4, salts = 8, taskPairBudget = 16000000L)
       val clusters = Dedup.resolveClusters(pairs)
         .withColumnRenamed("doc_id", "vec_id")
       t(s, dir, "embeddings").select(col("vec_id"))

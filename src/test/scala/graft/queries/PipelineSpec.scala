@@ -184,6 +184,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(unsalted.distinct === unsalted) // no duplicates
     assert(pairs(4) === unsalted)
     assert(pairs(8) === unsalted)
+    // Adaptive per-bucket salting: a tiny budget forces the hot bucket
+    // to its 1024-salt clamp (pop²/budget = 1600/1 ≫ left rows — most
+    // salt partitions empty), a huge one degenerates to the floor; the
+    // pair set must be identical either way, at any floor.
+    def adaptive(floor: Int, budget: Long): Seq[(Long, Long)] =
+      Similarity.cosineNearDupPairs(e, threshold = 0.3, bits = 4,
+          salts = floor, taskPairBudget = budget)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(adaptive(1, 1L) === unsalted)
+    assert(adaptive(8, 1L) === unsalted)
+    assert(adaptive(8, Long.MaxValue) === unsalted)
   }
 
   test("scaledCells / scaledBits: exact knob arithmetic (oracle-mirrored)") {
