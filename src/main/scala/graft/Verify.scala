@@ -18,8 +18,14 @@ object Verify {
       // Correctness dump only: AQE's stage-materialization wait showed a
       // nondeterministic multi-minute stall on trivial sort+write plans
       // here (~300s, smells like a missed wakeup); runtime re-planning
-      // buys nothing at dump scale, so pin it off.
-      .config("spark.sql.adaptive.enabled", "false")
+      // buys nothing at dump scale, so pin it off BY DEFAULT.
+      // SPARK_GRAFT_AQE=1 flips it on for the physical-invariance sweep
+      // (round 8): production sessions (SparkEngine) run AQE on, so the
+      // catalog must hash-match under runtime re-planning (partition
+      // coalescing, skew splits) too — a result that depends on the
+      // physical layout is a 100 TB bug the fixed-layout gate can't see.
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.get("SPARK_GRAFT_AQE").exists(_ == "1")).toString)
       // See SparkEngine: ICU case-mapping static init can stall minutes.
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .getOrCreate()
