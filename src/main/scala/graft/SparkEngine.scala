@@ -67,6 +67,26 @@ object SparkEngine {
       // makes the per-batch commit an append instead of a full SST
       // upload. Measured (BENCH_STREAM.md ×10): 15k-session state at
       // 1.4–2.2 MB checkpoints, exactly-once across restart.
+      // Checkpoint-replica durability on multi-executor clusters (see
+      // graft.Ckpt): replication targets come from a peer list cached
+      // 60s, so blocks written just after an executor death replicate
+      // into the corpse — the default ONE replication attempt then gives
+      // up before the on-failure peer refresh is consulted, leaving the
+      // block silently single-copy (measured: ExecutorLossProbe,
+      // "replicated to only 0 peer(s)" in executor logs). A failure
+      // budget of 5 lets the refreshed list win; proactive re-replication
+      // restores lost replicas after every executor removal. Both no-ops
+      // in single-executor (local) sessions.
+      .config("spark.storage.maxReplicationFailures", "5")
+      .config("spark.storage.replication.proactive", "true")
+      // The failure budget can't help when the CACHED peer list is
+      // EMPTY (fetched in the gap between a death and its replacement's
+      // registration): zero peers → zero attempts → zero failures → no
+      // forced refresh, and every replicated write for the next TTL is
+      // silently single-copy ("Expecting 1 replicas with only 0
+      // peer/s", measured). Default TTL is 60s; 5s bounds the
+      // post-churn blind window at one RPC per writing executor per 5s.
+      .config("spark.storage.cachedPeersTtl", "5000")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",

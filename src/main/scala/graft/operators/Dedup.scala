@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -280,7 +282,7 @@ object Dedup {
     var done = false
     while (!done && level < maxIter) {
       val single = edges.getNumPartitions <= 1
-      val m = contract(edges).toDF("node", "root").localCheckpoint()
+      val m = contract(edges).toDF("node", "root").ckpt()
       mappings += m
       if (single) done = true
       else {

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
@@ -261,7 +263,7 @@ object OrderStats {
       "derivedCum names must reference derived columns")
     val base =
       if (boundedInput) df.repartition(1) else df.repartitionByRange(sort: _*)
-    val sorted = base.sortWithinPartitions(sort: _*).localCheckpoint()
+    val sorted = base.sortWithinPartitions(sort: _*).ckpt()
     registerCheckpoint(sorted)
     val schema = sorted.schema
     def idxOf(cols: Seq[String]) = cols.map { in =>

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -198,7 +200,7 @@ object Similarity {
         // k tiny rows, but the PLAN matters: without truncation each round
         // nests the previous round's full lineage, and the final knn
         // re-executes the whole chain once per assignment pass.
-        .localCheckpoint()
+        .ckpt()
     }
     cents
   }
@@ -282,7 +284,7 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
           .as("c_emb"))
         .select(col("sub"), col("cell").as("c_id"), col("c_emb"))
-        .localCheckpoint() // m·ks rows; truncate the per-round lineage
+        .ckpt() // m·ks rows; truncate the per-round lineage
     }
     cents
   }

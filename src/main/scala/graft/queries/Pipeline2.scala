@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,7 +46,7 @@ object Pipeline2 {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .ckpt()
 
   val queries: Map[String, Q] = Map[String, Q](
     // Top-3 TF-IDF terms per document. Integer outputs; ln used only to
@@ -165,7 +167,7 @@ object Pipeline2 {
       // sides of `num` and both `nsq` aliases); unmaterialized, Catalyst
       // re-plans the vocabulary prune — including its 1-row corpus-count
       // broadcast — per branch, so the prune would run 4×.
-      val rare = tf.join(dfreq, Seq("term")).localCheckpoint()
+      val rare = tf.join(dfreq, Seq("term")).ckpt()
       val nsq = rare.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nsq"))
       val num = rare.as("a")
         .join(rare.as("b"), col("a.term") === col("b.term") &&

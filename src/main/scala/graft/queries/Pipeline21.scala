@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -266,7 +268,7 @@ object Pipeline21 {
       // self-join otherwise re-derives it (and re-scans lineitem) per
       // branch — 8 scans / 22 exchanges observed before the checkpoint.
       val edges = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
-        .select(col("u"), col("v")).distinct().localCheckpoint()
+        .select(col("u"), col("v")).distinct().ckpt()
       val e1 = edges.select(col("u").as("x"), col("v").as("y"))
       val e2 = edges.select(col("u").as("y"), col("v").as("z"))
       val e3 = edges.select(col("u").as("x"), col("v").as("z"))

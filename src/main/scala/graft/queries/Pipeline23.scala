@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -207,7 +209,7 @@ object Pipeline23 {
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .distinct()
-        .localCheckpoint()
+        .ckpt()
       val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("m"))
       val df = toks.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
       val rankedTok = OrderStats.running(
@@ -255,7 +257,7 @@ object Pipeline23 {
       val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
       val b = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
       var edges = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
-        .select(col("u"), col("v")).distinct().localCheckpoint()
+        .select(col("u"), col("v")).distinct().ckpt()
       val rounds = (1 to 3).map { r =>
         val und = edges.select(col("u").as("node"))
           .union(edges.select(col("v").as("node")))
@@ -266,7 +268,7 @@ object Pipeline23 {
         edges = edges
           .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-          .select(col("u"), col("v")).localCheckpoint()
+          .select(col("u"), col("v")).ckpt()
         val stats = edges.agg(
           count(lit(1)).cast("long").as("n_edges")).crossJoin(
           edges.select(col("u").as("node"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -208,7 +210,7 @@ object Pipeline24 {
       val ab = side(early = true).crossJoin(side(early = false).select(
           col("n_rows").as("b_n_rows"), col("sum_cents").as("b_sum_cents"),
           col("n_cust").as("b_n_cust"), col("n_pri").as("b_n_pri")))
-        .localCheckpoint()
+        .ckpt()
       val metrics = Seq(
         ("n_rows", "row count"), ("sum_cents", "revenue cents"),
         ("n_cust", "distinct customers"), ("n_pri", "distinct priorities"))

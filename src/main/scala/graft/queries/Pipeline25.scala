@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,7 +46,7 @@ object Pipeline25 {
     // that justifies (or indicts) the sketch parameters.
     "q_minhash_fidelity" -> { (s, dir) =>
       val sh = Dedup.shingles(t(s, dir, "documents"))
-      val sig = Dedup.minhashSignature(sh).localCheckpoint()
+      val sig = Dedup.minhashSignature(sh).ckpt()
       val bands = (0 until 4).map { b =>
         sig.select(col("doc_id"), lit(b).as("band_idx"),
           md5f(concat(col(s"mh${2 * b + 1}"), col(s"mh${2 * b + 2}")))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -106,7 +108,7 @@ object Pipeline3 {
       // Materialized once: corpus feeds the bloom build (its own action)
       // plus the verify join; batch feeds the screen and the per-doc
       // totals.
-      val p = passages(s, dir).localCheckpoint()
+      val p = passages(s, dir).ckpt()
       val corpus = p.filter(col("doc_id") % 5 =!= 4).select(col("passage"))
       val batch = p.filter(col("doc_id") % 5 === 4)
       // Sized for ~200k corpus passages (sf0.1 holds ~24k): 1.6 Mbit

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -67,7 +69,7 @@ object Pipeline30 {
       // without the checkpoint each agg would re-run shingling + the
       // signature groupBy (the q_quantile_sketch fan-out lesson).
       val sig = Dedup.minhashSignature(
-        Dedup.shingles(t(s, dir, "documents"))).localCheckpoint()
+        Dedup.shingles(t(s, dir, "documents"))).ckpt()
       def bucket(r: Int) =
         if (r == 1) col("mh1")
         else md5f(concat((1 to r).map(i => col(s"mh$i")): _*))

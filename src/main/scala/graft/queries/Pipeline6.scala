@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -237,9 +239,8 @@ object Pipeline6 {
       // default in-memory level.
       val (ew, deg) =
         try {
-          val e = edges.localCheckpoint(true,
-            org.apache.spark.storage.StorageLevel.DISK_ONLY)
-          (e, e.groupBy(col("src")).agg(max(col("d")).as("d")).localCheckpoint())
+          val e = edges.ckpt(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          (e, e.groupBy(col("src")).agg(max(col("d")).as("d")).ckpt())
         } finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       var pr = deg.select(col("src").as("node"), lit(1.0).as("pr"))
       for (_ <- 1 to 3) {
@@ -299,8 +300,7 @@ object Pipeline6 {
         try {
           // DISK_ONLY for the data-sized edge frame (see q_pagerank):
           // frontier levels are seed-bounded and stay in memory.
-          val edges = edgePlan.localCheckpoint(true,
-            org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          val edges = edgePlan.ckpt(org.apache.spark.storage.StorageLevel.DISK_ONLY)
           // Frontier levels carry no visited-set subtraction: a node can
           // re-enter at a later hop and the final min(hop) picks its true
           // distance. Each level is localCheckpoint-ed: level h is then
@@ -313,14 +313,14 @@ object Pipeline6 {
           // earlier levels.)
           var frontier = edges.select(col("src").as("node"))
             .where(col("node") < 100).distinct()
-            .withColumn("hop", lit(0L)).localCheckpoint()
+            .withColumn("hop", lit(0L)).ckpt()
           val acc = scala.collection.mutable.ArrayBuffer(frontier)
           for (h <- 1 to 3) {
             frontier = edges
               .join(frontier.hint("shuffle_hash"), edges("src") === frontier("node"))
               .select(col("dst").as("node")).distinct()
               .withColumn("hop", lit(h.toLong))
-            if (h < 3) frontier = frontier.localCheckpoint()
+            if (h < 3) frontier = frontier.ckpt()
             acc += frontier
           }
           acc.toSeq

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,7 +45,7 @@ object Pipeline7 {
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select(col("u"), col("v"))
-        .localCheckpoint() // feeds degrees + orientation + closing join
+        .ckpt() // feeds degrees + orientation + closing join
       val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
       // Orient from lower (degree, id) to higher — total order, no global

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -214,7 +216,7 @@ object Pipeline8 {
       val perSource = hashes.withColumn("rk", row_number().over(
           Window.partitionBy(col("source")).orderBy(col("h"))))
         .filter(col("rk") <= k)
-        .localCheckpoint() // the stored sketches; both outputs read them
+        .ckpt() // the stored sketches; both outputs read them
       val bySource = estimate(perSource.groupBy(col("source"))
         .agg(count(lit(1)).as("n"), max(col("h")).as("hk")))
       val merged = estimate(perSource

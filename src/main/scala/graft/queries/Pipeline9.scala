@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -532,7 +534,7 @@ object Pipeline9 {
         .repartition(nPart)
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
-        .localCheckpoint()
+        .ckpt()
       val hkMax = 1152921504606846976L // 16^15 = 2^60
       val cnts = base.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("long").as("n"))

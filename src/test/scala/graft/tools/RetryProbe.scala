@@ -84,13 +84,16 @@ object RetryProbe {
           .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n")),
         "lineitem"),
       ("orderstats_running", (li: DataFrame) =>
-        // Unique sort key (orderkey, linenumber) so the two-pass prefix
-        // scan has ONE correct answer for the fingerprint to pin.
+        // Sort key includes qty: (orderkey, linenumber) is NOT unique in
+        // the synthetic corpus (found by SpeculationProbe), and running()
+        // over a tied key is tie-order-sensitive by construction. With
+        // qty in the key, ties are fully-identical rows — the output
+        // multiset has ONE correct answer for the fingerprint to pin.
         OrderStats.running(
           li.select(col("l_orderkey"), col("l_linenumber"),
             col("l_quantity").cast("long").as("qty")),
-          Seq(col("l_orderkey"), col("l_linenumber")), Some("rn"),
-          cumLong = Seq("qty" -> "cum_qty")),
+          Seq(col("l_orderkey"), col("l_linenumber"), col("qty")),
+          Some("rn"), cumLong = Seq("qty" -> "cum_qty")),
         "lineitem"),
       ("dedup_lsh_clusters", (docs: DataFrame) =>
         Dedup.resolveClusters(Dedup.minhashLshPairs(docs, t10 = 8)),
