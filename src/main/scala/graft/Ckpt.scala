@@ -14,14 +14,15 @@ import org.apache.spark.storage.StorageLevel
   * the same probe shows a ×2-replicated level surviving the identical
   * kill with an unchanged result fingerprint).
   *
-  * Policy: when the session has two or more executors, checkpoint at
-  * the requested base level with replication 2 — every block has a
-  * replica on another executor, so any SINGLE loss leaves a live copy
-  * and the query keeps running (a second concurrent loss can still hit
-  * both replicas; that is the same residual risk HDFS replication
-  * accepts). Single-executor sessions (local[...], the oracle gate,
-  * every spec) have nowhere to replicate to and keep the base level
-  * bit-for-bit — plans and results are unchanged there. Override with
+  * Policy: when the session's master URL admits more than one executor
+  * (anything but `local`/`local[...]`), checkpoint at the requested
+  * base level with replication 2 — every block has a replica on
+  * another executor, so any SINGLE loss leaves a live copy and the
+  * query keeps running (a second concurrent loss can still hit both
+  * replicas; that is the same residual risk HDFS replication accepts).
+  * Single-JVM sessions (local[...], the oracle gate, every spec) have
+  * nowhere to replicate to and keep the base level bit-for-bit — plans
+  * and results are unchanged there. Override with
   * `spark.graft.checkpointReplicas` (int; `auto` = the above).
   *
   * All operator/query `localCheckpoint` sites route through here; the
@@ -29,11 +30,23 @@ import org.apache.spark.storage.StorageLevel
   * executor-loss probe's fingerprint equality pins.
   */
 object Ckpt {
-  /** Live executors as the scheduler sees them (the driver counts as
-    * one entry, so > 2 means >= 2 real executors).
+  /** Whether the session CAN have more than one executor — decided from
+    * the master URL, not the instantaneous executor registry. A
+    * registry-based check races with executor registration (startup,
+    * dynamic allocation, churn): a checkpoint taken while only one
+    * executor happens to be registered would be silently unreplicated
+    * for its whole lifetime — exactly the single-copy loss this policy
+    * exists to prevent. The master URL is fixed for the context's
+    * lifetime, so the policy is deterministic: any non-`local[...]`
+    * master (local-cluster, spark://, yarn, k8s) replicates. Requesting
+    * 2 replicas while only one executor is live is safe — the block
+    * lands single-copy with a BlockManager warning and gains its
+    * replica via the proactive re-replication SparkEngine pins.
     */
-  private def multiExecutor(spark: SparkSession): Boolean =
-    spark.sparkContext.statusTracker.getExecutorInfos.length > 2
+  private def multiExecutor(spark: SparkSession): Boolean = {
+    val m = spark.sparkContext.master
+    !(m == "local" || (m.startsWith("local[") && m.endsWith("]")))
+  }
 
   private def replicas(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.checkpointReplicas") match {
@@ -41,10 +54,19 @@ object Ckpt {
       case _ => if (multiExecutor(spark)) 2 else 1
     }
 
-  /** `base` with the session's replication policy applied. */
+  /** `base` with the session's replication policy applied. Warns when a
+    * replicated write cannot be satisfied yet (fewer live executors than
+    * replicas): the block lands single-copy until re-replication, so a
+    * loss in that window is still fatal — visible, not silent.
+    */
   def level(spark: SparkSession,
       base: StorageLevel = StorageLevel.MEMORY_AND_DISK): StorageLevel = {
     val r = replicas(spark)
+    // getExecutorInfos includes the driver, so `<= r` means fewer than
+    // `r` real executors are registered right now.
+    if (r > 1 && spark.sparkContext.statusTracker.getExecutorInfos.length <= r)
+      System.err.println(s"[ckpt] WARNING: replication $r requested with " +
+        "fewer live executors — blocks start single-copy until peers register")
     if (r == base.replication) base
     else StorageLevel(base.useDisk, base.useMemory, base.useOffHeap,
       base.deserialized, r)

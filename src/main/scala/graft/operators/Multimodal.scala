@@ -298,7 +298,10 @@ object Multimodal {
     }
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
       bitOffset = 0
-      if (streamPos >= buf.length) -1
+      // Contract: a zero-length read returns 0 even at EOF; -1 means
+      // end-of-stream only for a read that requested bytes.
+      if (len == 0) 0
+      else if (streamPos >= buf.length) -1
       else {
         val n = math.min(len, buf.length - streamPos.toInt)
         System.arraycopy(buf, streamPos.toInt, b, off, n)

@@ -43,18 +43,21 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *    traversal of the SAME materialized partitions — never a second
   *    shuffle.
   *
-  * The frame is localCheckpoint-ed between the passes so all passes read
-  * the SAME materialized partitioning (repartitionByRange samples its
-  * bounds; two independent executions could split ties of the sampled key
-  * differently if the sort key were not total — and re-shuffling would
-  * multiply the dominant cost anyway). Tradeoff (noted per advisor):
-  * localCheckpoint truncates lineage, so executor loss makes the
-  * checkpointed partitions unrecoverable until the query re-runs —
-  * acceptable for a deterministic-result operator whose callers
-  * re-execute on failure. On a real cluster where executor loss is
-  * routine, set a checkpoint dir and wrap the INPUT in
-  * `df.checkpoint()` (reliable, HDFS-backed) before calling; the
-  * operator's own intermediate stays local by design.
+  * The frame is checkpointed between the passes (via [[graft.Ckpt]])
+  * so all passes read the SAME materialized partitioning
+  * (repartitionByRange samples its bounds; two independent executions
+  * could split ties of the sampled key differently if the sort key were
+  * not total — and re-shuffling would multiply the dominant cost
+  * anyway). Fault model: localCheckpoint truncates lineage, so the
+  * checkpointed blocks are the only copy of the frame — on
+  * multi-executor sessions Ckpt therefore replicates them ×2, and the
+  * operator survives any SINGLE executor loss with an unchanged result
+  * (measured: `graft.tools.ExecutorLossProbe` kills an executor between
+  * consume and re-consume; fingerprints match). A concurrent loss of
+  * both replica holders still fails the query — callers needing
+  * stronger guarantees can pre-wrap the INPUT in a reliable
+  * `df.checkpoint()` (HDFS-backed), but that is belt-and-braces, not
+  * the default requirement.
   *
   * Checkpoint LIFECYCLE: the materialized blocks stay pinned in the
   * block manager until the RDD handle is GC'd (driver-side

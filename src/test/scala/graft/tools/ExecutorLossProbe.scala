@@ -177,7 +177,11 @@ object ExecutorLossProbe {
       val clean = fp(run(table(tbl)))
       val f0 = taskFails.get(); val r0 = removed.get()
       @volatile var res: Either[Throwable, (Long, String)] = null
+      val group = s"exec-loss-racing-$name"
       val worker = new Thread(() => {
+        // Job group is thread-local: set it here so a hang can be
+        // cancelled from the main thread instead of abandoned.
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
         res =
           try Right(fp(run(stretch(table(tbl), 6000L))))
           catch { case e: Throwable => Left(e) }
@@ -190,7 +194,15 @@ object ExecutorLossProbe {
         case Right(f) if f == clean => "RECOVERED, fingerprint unchanged"
         case Right(f) => bad += 1; s"RECOVERED BUT DIVERGED: $f vs $clean"
         case Left(e) => bad += 1; s"FAILED: ${e.getMessage.take(120)}"
-        case null => bad += 1; "HUNG"
+        case null =>
+          // A wedged job left running would occupy executors through the
+          // later modes and contaminate their kill/await sequencing —
+          // cancel it before moving on.
+          bad += 1
+          spark.sparkContext.cancelJobGroup(group)
+          worker.interrupt()
+          worker.join(30000)
+          "HUNG (job group cancelled before continuing)"
       }
       println(s"[exec-loss] racing/$name killedPid=$pid " +
         s"execRemoved=${removed.get() - r0} taskFailures=${taskFails.get() - f0} → $outcome")
@@ -209,18 +221,22 @@ object ExecutorLossProbe {
       val before = fp(ck)
       val pid = killOne()
       Thread.sleep(4000) // loss propagates; replacement may also arrive
+      var counted = false // each unexpected outcome adds to `bad` ONCE
       val outcome =
         try {
           val after = fp(ck)
           if (after == before) "SURVIVED, fingerprint unchanged"
-          else { bad += 1; s"SURVIVED BUT DIVERGED: $after vs $before" }
+          else {
+            bad += 1; counted = true
+            s"SURVIVED BUT DIVERGED: $after vs $before"
+          }
         } catch {
           case e: Throwable =>
-            if (expectSurvive) bad += 1
+            if (expectSurvive) { bad += 1; counted = true }
             s"QUERY FAILED (${e.getClass.getSimpleName}: ${e.getMessage.take(100)})"
         }
       val ok = outcome.startsWith("SURVIVED") == expectSurvive
-      if (!ok && outcome.startsWith("SURVIVED")) bad += 1
+      if (!ok && !counted) bad += 1
       println(s"[exec-loss] ckpt-loss/$tag killedPid=$pid → $outcome " +
         s"(expected ${if (expectSurvive) "survive" else "fail"})")
     }

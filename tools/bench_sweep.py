@@ -132,10 +132,17 @@ def main():
             break  # no progress; stop rather than loop forever
         remaining = next_remaining
     failed.update(killed)
+    # Queries never attempted (max-launches exhausted, or the no-progress
+    # break) must not vanish from the merged JSON: list them explicitly
+    # so the report renders them as not-run rather than silently omitting
+    # them, and they void `complete` like a failure would.
+    not_run = sorted(q for q in remaining
+                     if q not in merged["queries"] and q not in failed)
     result = {
         "metric": "total", "value": sum(merged["queries"].values()),
         "unit": "sec", "queries": merged["queries"],
-        "failed": sorted(failed), "complete": not failed,
+        "failed": sorted(failed), "complete": not failed and not not_run,
+        "not_run": not_run,
         "retried": sorted(retried), "jvm_killed": killed,
         "launches": launch, "mem": args.mem,
         "loadavg_before": load_before, "loadavg_after": loadavg(),
@@ -146,7 +153,7 @@ def main():
     with open(args.out + ".json", "w") as f:
         json.dump(result, f)
     print(f"[sweep] done: {len(merged['queries'])} ok, "
-          f"{sorted(failed)} failed (jvm_killed={killed}), "
+          f"{sorted(failed)} failed (jvm_killed={killed}, not_run={not_run}), "
           f"total {result['value']:.1f}s -> {args.out}.json", flush=True)
 
 

@@ -28,9 +28,9 @@ def main(argv):
         label, path = a.split(":", 1)
         runs.append((label, bench_json(path)))
     base = runs[0][1]
-    names = sorted(base["queries"], key=lambda q: -base["queries"][q])
     all_names = sorted({q for _, d in runs for q in d["queries"]} |
-                       {q for _, d in runs for q in d.get("failed", [])},
+                       {q for _, d in runs for q in d.get("failed", [])} |
+                       {q for _, d in runs for q in d.get("not_run", [])},
                        key=lambda q: -base["queries"].get(q, 1e9))
     hdr = ["query"] + [f"{l} (s)" for l, _ in runs] + \
         [f"{l} spill (MB)" for l, _ in runs[1:]]
