@@ -29,7 +29,9 @@ import Qs._
   *    stopword-grade terms are the quadratic hot spot of sparse
   *    similarity, same escape hatch as the shingle DF cap in Dedup;
   *    norms use the same pruned space, so cosine is exact within it
-  *    (identical docs score 1);
+  *    (identical docs score 1); surviving hot terms are adaptively
+  *    salted (s ∝ df², derived in the dfreq pass the query already
+  *    pays) so no single task owns a hot term's pair production;
   *  - stratified sampling is one window per stratum — a single shuffle
   *    keyed on the stratum, the distributed reservoir-sample shape;
   *  - everything else is groupBy/window over hash-partitionable keys.
@@ -159,19 +161,37 @@ object Pipeline2 {
     "q_doc_sim_cosine" -> { (s, dir) =>
       val tf = termFreq(s, dir)
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      // Adaptive per-term salting (the cosineNearDupPairs move applied
+      // to a TERM join): the term is the only join key, so one task
+      // computes a hot term's df² pairs — measured at the ×10 ScaleGen
+      // corpus as 712s wall against ~100× the output (the straggler
+      // signature: ~3.5× over the output-bound floor). s(term) =
+      // clamp(ceil(df²/4e6), 1, 1024) rides along the dfreq join — no
+      // extra shuffle, no broadcast of the (unbounded) vocabulary — and
+      // the gate's corpora (df² ≪ 4e6) keep s = 1, i.e. the gated plan
+      // is byte-identical. Salts shape PARTITIONING only: `a` carries
+      // one salt, `b` explodes to all of its term's salts, so every
+      // (a < b, term) contribution meets exactly once.
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(n))
         .filter(col("df") * 10 <= col("n_docs"))
-        .select(col("term"))
+        .withColumn("__s", least(lit(1024L), greatest(lit(1L),
+          ceil(col("df").cast("double") * col("df") / lit(4e6))
+            .cast("long"))).cast("int"))
+        .select(col("term"), col("__s"))
       // Materialized once: `rare` feeds four branches below (both join
       // sides of `num` and both `nsq` aliases); unmaterialized, Catalyst
       // re-plans the vocabulary prune — including its 1-row corpus-count
       // broadcast — per branch, so the prune would run 4×.
       val rare = tf.join(dfreq, Seq("term")).ckpt()
       val nsq = rare.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nsq"))
-      val num = rare.as("a")
-        .join(rare.as("b"), col("a.term") === col("b.term") &&
-          col("a.doc_id") < col("b.doc_id"))
+      val num = rare
+        .withColumn("__salt", pmod(hash(col("doc_id")), col("__s"))).as("a")
+        .join(rare.withColumn("__salt",
+            explode(sequence(lit(0), col("__s") - 1))).as("b"),
+          col("a.term") === col("b.term") &&
+            col("a.__salt") === col("b.__salt") &&
+            col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .agg(sum(col("a.tf") * col("b.tf")).as("num"))
       num

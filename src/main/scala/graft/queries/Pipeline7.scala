@@ -105,13 +105,60 @@ object Pipeline7 {
     // Winsorization: clamp each value into its type's exact [p05, p95].
     // The tiny per-type quantile table broadcasts back; the clamp is
     // map-side least/greatest.
+    //
+    // The bounds are computed by rank arithmetic over the grouped
+    // (type, value) histogram — the q_quantile_sketch shape: OrderStats
+    // prefix counts at full shuffle parallelism, never the percentile()
+    // builtin's ObjectHashAggregate buffering a type's every value in
+    // one task. The interpolation is written out in the SAME
+    // two-product form DuckDB's QUANTILE_CONT computes,
+    // (ceil−idx)·lo + (idx−floor)·hi: Spark's percentile() lerps
+    // lo + (hi−lo)·frac instead, and the two forms disagree when the
+    // two bracketing values are EQUAL and frac carries representation
+    // error — the coefficients don't sum to exactly 1, so QUANTILE_CONT
+    // returns 2.5200000000000005 where the lerp returns 2.52. Caught by
+    // the ×10-corpus oracle sweep (sf1 p05 of 'error' landed on a tied
+    // value with frac = .95); invisible at every gate sf.
     "q_winsorize" -> { (s, dir) =>
       val ev = t(s, dir, "events")
         .filter(col("value").isNotNull)
         .select(col("event_id"), col("event_type"), col("value"))
-      val qs = ev.groupBy(col("event_type").as("et"))
-        .agg(expr("percentile(value, 0.05)").as("lo"),
-          expr("percentile(value, 0.95)").as("hi"))
+      val byVal = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val cnts = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val cumg = graft.operators.OrderStats.running(
+        byVal, Seq(col("event_type"), col("value")), None,
+        Seq("c" -> "cumg"))
+      val offs = graft.operators.OrderStats.running(
+          cnts, Seq(col("event_type")), None, Seq("n" -> "cumn"),
+          boundedInput = true)
+        .select(col("event_type"), (col("cumn") - col("n")).as("off"),
+          col("n"))
+      val cum = cumg.join(broadcast(offs), Seq("event_type"))
+        .withColumn("cumf", col("cumg") - col("off"))
+      def pick(p: Double, tag: String) = {
+        val idx = lit(p) * (col("n") - 1).cast("double")
+        val lo = floor(idx).cast("long") + 1
+        val hi = ceil(idx).cast("long") + 1
+        Seq(
+          max(when(col("cumf") >= lo && col("cumf") - col("c") < lo,
+            col("value"))).as(s"l$tag"),
+          max(when(col("cumf") >= hi && col("cumf") - col("c") < hi,
+            col("value"))).as(s"h$tag"))
+      }
+      def interp(p: Double, tag: String) = {
+        val idx = lit(p) * (col("n") - 1).cast("double")
+        val loD = floor(idx)
+        val hiD = ceil(idx)
+        when(loD === hiD, col(s"l$tag"))
+          .otherwise((hiD - idx) * col(s"l$tag") + (idx - loD) * col(s"h$tag"))
+      }
+      val qs = cum.groupBy(col("event_type").as("et"), col("n"))
+        .agg((pick(0.05, "05") ++ pick(0.95, "95")).head,
+          (pick(0.05, "05") ++ pick(0.95, "95")).tail: _*)
+        .select(col("et"), interp(0.05, "05").as("lo"),
+          interp(0.95, "95").as("hi"))
       ev.join(broadcast(qs), col("event_type") === col("et"))
         .select(col("event_id"), col("event_type"), col("value"),
           least(greatest(col("value"), col("lo")), col("hi")).as("w_value"))

@@ -403,19 +403,58 @@ object Pipeline9 {
     // cardinality, max, p50/p99, the heaviest key's row share, and the
     // max/median skew ratio that decides between plain shuffle, AQE skew
     // splitting, and salting (operators/SkewJoin).
+    // p50/p99 via the sorted count-HISTOGRAM (distinct per-key counts —
+    // a handful of rows), interpolated in the explicit two-product form
+    // (ceil−idx)·lo + (idx−loD)·hi that QUANTILE_CONT computes. The
+    // percentile() builtin short-circuits TIED bracketing values to the
+    // exact value while QUANTILE_CONT's coefficients don't sum to
+    // exactly 1 — on a count distribution the p99 brackets are tied
+    // almost always, so the builtin is one representation-error frac
+    // away from a one-ulp oracle mismatch (the q_winsorize failure
+    // class, caught at the ×10 corpus). Also removes the builtin's
+    // all-values-in-one-task buffering: the histogram agg is a codegen
+    // partial+final, and the interp runs on ≤(distinct counts) rows.
     "q_skew_report" -> { (s, dir) =>
-      def prof(df: org.apache.spark.sql.DataFrame, c: String) = df
-        .groupBy(col(c)).agg(count(lit(1)).as("n"))
-        .agg(
+      def prof(df: org.apache.spark.sql.DataFrame, c: String) = {
+        val keyed = df.groupBy(col(c)).agg(count(lit(1)).cast("long").as("n"))
+        val hist = keyed.groupBy(col("n")).agg(count(lit(1)).cast("long").as("c"))
+        val stats = keyed.agg(
           count(lit(1)).cast("long").as("n_keys"),
           sum(col("n")).cast("long").as("n_rows"),
-          max(col("n")).cast("long").as("max_key_rows"),
-          expr("percentile(n, 0.5)").as("p50_key_rows"),
-          expr("percentile(n, 0.99)").as("p99_key_rows"))
-        .select(lit(c).as("key_col"), col("n_keys"), col("n_rows"),
-          col("max_key_rows"), col("p50_key_rows"), col("p99_key_rows"),
-          (col("max_key_rows") / col("n_rows")).as("top1_share"),
-          (col("max_key_rows") / col("p50_key_rows")).as("skew_ratio"))
+          max(col("n")).cast("long").as("max_key_rows"))
+        val cum = graft.operators.OrderStats.running(
+            hist, Seq(col("n")), None, Seq("c" -> "cumf"),
+            boundedInput = true)
+          .crossJoin(broadcast(stats))
+        def pick(p: Double, tag: String) = {
+          val idx = lit(p) * (col("n_keys") - 1).cast("double")
+          val lo = floor(idx).cast("long") + 1
+          val hi = ceil(idx).cast("long") + 1
+          Seq(
+            max(when(col("cumf") >= lo && col("cumf") - col("c") < lo,
+              col("n"))).as(s"l$tag"),
+            max(when(col("cumf") >= hi && col("cumf") - col("c") < hi,
+              col("n"))).as(s"h$tag"))
+        }
+        def interp(p: Double, tag: String) = {
+          val idx = lit(p) * (col("n_keys") - 1).cast("double")
+          val loD = floor(idx)
+          val hiD = ceil(idx)
+          when(loD === hiD, col(s"l$tag").cast("double"))
+            .otherwise((hiD - idx) * col(s"l$tag") +
+              (idx - loD) * col(s"h$tag"))
+        }
+        cum.groupBy(col("n_keys"), col("n_rows"), col("max_key_rows"))
+          .agg((pick(0.5, "50") ++ pick(0.99, "99")).head,
+            (pick(0.5, "50") ++ pick(0.99, "99")).tail: _*)
+          .select(lit(c).as("key_col"), col("n_keys"), col("n_rows"),
+            col("max_key_rows"), interp(0.5, "50").as("p50_key_rows"),
+            interp(0.99, "99").as("p99_key_rows"))
+          .select(col("key_col"), col("n_keys"), col("n_rows"),
+            col("max_key_rows"), col("p50_key_rows"), col("p99_key_rows"),
+            (col("max_key_rows") / col("n_rows")).as("top1_share"),
+            (col("max_key_rows") / col("p50_key_rows")).as("skew_ratio"))
+      }
       prof(t(s, dir, "orders"), "o_custkey")
         .union(prof(t(s, dir, "lineitem"), "l_suppkey"))
         .orderBy(col("key_col"))
@@ -551,15 +590,34 @@ object Pipeline9 {
           Window.partitionBy(col("l_returnflag"))
             .orderBy(col("hk"), col("l_orderkey"), col("l_linenumber"))).cast("long"))
         .filter(col("rn") <= 512)
+      // Sample percentiles over the SORTED ≤512-element array, in the
+      // explicit two-product interpolation QUANTILE_CONT computes
+      // ((ceil−idx)·lo + (idx−loD)·hi, no tied-value short-circuit):
+      // the percentile() builtin returns the exact value when the two
+      // bracketing sample values TIE, which is one representation-error
+      // frac (est_p90's .9) away from a one-ulp oracle mismatch — the
+      // q_winsorize failure class caught at the ×10 corpus. collect_list
+      // is bounded at 512 rows per group by construction.
+      def estP(p: Double) = {
+        val m = size(col("sv")).cast("double")
+        val idx = lit(p) * (m - 1)
+        val loD = floor(idx)
+        val hiD = ceil(idx)
+        val loV = element_at(col("sv"), (floor(idx) + 1).cast("int"))
+        val hiV = element_at(col("sv"), (ceil(idx) + 1).cast("int"))
+        when(loD === hiD, loV)
+          .otherwise((hiD - idx) * loV + (idx - loD) * hiV)
+      }
       val est = samp.groupBy(col("l_returnflag")).agg(
-        expr("percentile(l_extendedprice, 0.5)").as("est_p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("est_p90"),
+        sort_array(collect_list(col("l_extendedprice"))).as("sv"),
         max(col("rn")).as("got"), max(col("n")).as("n_g"))
         // Exactness guard for the threshold filter (see above): fatal,
         // never silent. assert_true yields null on success, so the
         // filter keeps every row while forcing evaluation.
         .filter(assert_true(col("got") >= least(lit(512L), col("n_g")),
           lit("quantile-sketch threshold prefilter undershot")).isNull)
+        .select(col("l_returnflag"), estP(0.5).as("est_p50"),
+          estP(0.9).as("est_p90"), col("got"), col("n_g"))
       val byVal = base.groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(count(lit(1)).cast("long").as("c"))
       // Per-flag cumulative count WITHOUT a 3-partition window: one
