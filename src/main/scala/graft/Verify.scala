@@ -10,9 +10,29 @@ object Verify {
     // the driver always calls with exactly two args → full catalog).
     val only = rest.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the whole master URL — the round-8
+    // invariance sweep runs the FULL catalog on local-cluster[2,16,…]
+    // (two real executor processes: serde, netty shuffle, and the
+    // replicated-Ckpt write path that single-JVM local[] can never
+    // exercise). Needs SPARK_HOME + SPARK_SCALA_VERSION in the env so
+    // the cluster manager can launch executors.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    // Multi-process masters launch bare executor JVMs: they need this
+    // app's classes (target/classes via sbt) on their classpath, and the
+    // same replication hygiene the fault probes pinned (a cached-empty
+    // peer list silently writes Ckpt's replicated blocks single-copy).
+    val builder =
+      if (master.startsWith("local-cluster"))
+        builder0
+          .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+          .config("spark.storage.maxReplicationFailures", "5")
+          .config("spark.storage.replication.proactive", "true")
+          .config("spark.storage.cachedPeersTtl", "5000")
+      else builder0
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Correctness dump only: AQE's stage-materialization wait showed a
