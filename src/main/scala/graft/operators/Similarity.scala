@@ -64,12 +64,25 @@ object Similarity {
         expr(s"transform($embCol, v -> CAST(v AS DOUBLE))").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
 
-  private def topK(pairs: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    pairs.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+  /** Top-k per query via [[graft.functions.BoundedTopK]] — a partial+final
+    * aggregate whose map side emits ≤k rows per (query × partition), so
+    * the exchange carries O(queries · k), never the candidate-pair
+    * stream. The previous `row_number()` window shuffled and sorted EVERY
+    * candidate pair (the last spill on the ×100 scale list: q_embed_ivf,
+    * 7.5 GB); rank-k selection under the total (cos desc, neighbor_id)
+    * order is merge-order independent, so results are bit-identical.
+    * Call sites must produce each (query, neighbor) pair at most once —
+    * true for all candidate generators here (a corpus vector lives in
+    * exactly one cell/bucket) and asserted in BoundedTopKSpec.
+    */
+  private def topK(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopK.topk(col("cos"), col("neighbor_id"), k)
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.neighbor_id").as("neighbor_id"),
+        col("__e.cos").as("cos"), (col("__pos") + 1).cast("long").as("rk"))
       .orderBy(col("query_id"), col("rk"))
-  }
 
   /** Brute-force cosine top-k of `corpus` for each row of `queries`
     * (both pre-normed via [[withNorm]]). Exact; the ANN oracle.

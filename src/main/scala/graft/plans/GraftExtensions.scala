@@ -69,6 +69,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.MisraGries(args.head, k).toAggregateExpression()
       }))
+    // Bounded top-k pairs (TypedImperativeAggregate — map-side emits ≤k
+    // rows per group × partition; the shuffle-thin ANN ranking path):
+    //   SELECT qid, graft_topk(cos, nid, 10) FROM pairs GROUP BY qid
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "graft_topk"),
+      (args: Seq[Expression]) => {
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk: k must be an integer literal, got $other")
+        }
+        graft.functions.BoundedTopK(args(0), args(1), k).toAggregateExpression()
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(

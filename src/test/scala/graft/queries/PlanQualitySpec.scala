@@ -82,9 +82,15 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), p)
     assert(p.contains("graft_dot"), p)
-    // Spark 4 plans the per-group row_number()<=k as WindowGroupLimit
-    // Partial+Final: each partition keeps k rows before the shuffle.
-    assert(p.contains("WindowGroupLimit"), p)
+    // Since round 8 the per-query top-k is graft_topk (BoundedTopK, a
+    // TypedImperativeAggregate): the map side emits at most k rows per
+    // (query × partition) — strictly better than the previous
+    // row_number()/WindowGroupLimit shape, whose PARTIAL stage still
+    // sorted the whole candidate-pair stream per partition (the last
+    // ×100-scale spill). Pin the aggregate and the absence of any
+    // window over the pair stream.
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("WindowGroupLimit") && !p.contains("RunningWindowFunction"), p)
   }
 
   test("q_doc_sim_cosine: candidate generation is equi-join only, no cartesian") {
