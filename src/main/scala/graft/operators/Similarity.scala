@@ -180,14 +180,24 @@ object Similarity {
     * broadcast (k rows): a narrow N×k pass, no shuffle.
     */
   private def assignCells(vecs: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__score").desc, col("c_id"))
-    vecs.join(broadcast(cents))
-      .withColumn("__score", dot(col("qemb"), col("c_emb")) / col("c_nrm"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= nprobe)
-      .withColumnRenamed("c_id", "cell")
-      .drop("__score", "__rk", "c_emb", "c_nrm")
+    // Rank cells on a NARROW (vec_id, c_id, score) stream and rejoin:
+    // the obvious row_number() window over vecs×cents would drag every
+    // projected column — emb, qemb, qd: ~500 bytes/row — through its
+    // partial sort and exchange, and at the ×100 corpus that N·k stream
+    // was the only spill left on the scale list (q_embed_ivf, 7.7 GB,
+    // re-measured after the top-k rewrite alone didn't move it). The
+    // bounded aggregate sees 24-byte rows, emits nprobe cells per
+    // vector, and the vec_id equi-join restores the payload columns —
+    // O(N) rows on both join sides at any nCells.
+    val chosen = vecs.select(col("vec_id"), col("qemb"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        (dot(col("qemb"), col("c_emb")) / col("c_nrm")).as("__score"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.BoundedTopK.topk(col("__score"), col("c_id"), nprobe)
+        .as("__top"))
+      .select(col("vec_id"), explode(col("__top.neighbor_id")).as("cell"))
+    vecs.join(chosen, Seq("vec_id"))
   }
 
   /** IVF coarse quantizer: `k` seed centroids (lowest vec_ids) refined by
@@ -268,6 +278,12 @@ object Similarity {
     * assignment is a narrow map-side pass at any corpus size.
     */
   private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
+    // Deliberately NOT the narrow-rank-then-rejoin shape of
+    // [[assignCells]]: sub-vector rows are already narrow (subDim ≤ 8
+    // dims vs the 64-dim emb payload that made the cell window spill),
+    // and pqAssign runs inside the Lloyd loop — a rejoin here costs two
+    // extra exchanges per round and measured 1.5–1.8× ×100 CPU against
+    // the window's one (WindowGroupLimit-bounded) exchange.
     val w = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("__d2"), col("c_id"))
     subs.join(broadcast(cents), Seq("sub"))
