@@ -109,8 +109,11 @@ case class BoundedTopK(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    // dequeueAll drains worst-to-best; reverse for rank order.
-    val worstToBest = buf.dequeueAll
+    // Drain a CLONE (≤k elements): eval is terminal in today's
+    // aggregation paths, but a destructive eval would corrupt the
+    // buffer if any future path evaluated twice — not worth the risk
+    // for k heap nodes.
+    val worstToBest = buf.clone().dequeueAll
     val n = worstToBest.length
     val out = new Array[Any](n)
     var i = 0
