@@ -282,7 +282,15 @@ object Bench {
       }.filter(_.nonEmpty).mkString("{", ",", "}")
     val spillJson = bytesJson(_.spillDisk)
     val shufJson = bytesJson(_.shufWrite)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"complete":${failed.isEmpty},"retried":$retriedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir","cpu":$cpuJson,"run":$runJson,"spill_disk":$spillJson,"shuffle_write":$shufJson}""")
+    // Field order matters: the driver stores only a TRUNCATED TAIL of this
+    // line, so the per-query wall-time map goes LAST with failed/complete/
+    // sf right behind it — the tail then always carries the end of the
+    // times map plus the verdict fields (the r7 shape). The bulky
+    // cpu/run/spill/shuffle diagnostics print FIRST and are expendable;
+    // their full values live in bench_history.jsonl anyway. (Round-8
+    // lesson: appending them after `queries` displaced the whole times
+    // map out of the 2000-char tail.)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu":$cpuJson,"run":$runJson,"spill_disk":$spillJson,"shuffle_write":$shufJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"retried":$retriedJson,"queries":$qs,"failed":$failedJson,"complete":${failed.isEmpty},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

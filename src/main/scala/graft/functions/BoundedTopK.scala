@@ -34,9 +34,20 @@ import org.apache.spark.sql.types._
   * retry, or AQE re-plan. The order here is total because the id column
   * is unique within a group at every call site (candidate generation
   * joins each (query, neighbor) pair at most once — asserted in
-  * BoundedTopKSpec). Scores are canonicalized (-0.0 → 0.0) so the heap's
-  * `Double.compare` agrees with the window sort's SQL ordering on signed
-  * zeros; NaN ranks above +Inf in both.
+  * BoundedTopKSpec). The comparator canonicalizes -0.0 → 0.0 on the
+  * COMPARISON KEY ONLY, so ordering agrees with the window sort's SQL
+  * semantics on signed zeros while the EMITTED `cos` keeps the input's
+  * exact bit pattern (a -0.0 cosine is reachable: dot = -0.0 against an
+  * all-zero query); NaN ranks above +Inf in both.
+  *
+  * PRECONDITION — non-null inputs: rows where score or id is null are
+  * DROPPED (standard SQL aggregate-input semantics, like `max`), whereas
+  * the `row_number()` window this replaces ranked null scores NULLS LAST
+  * and could surface them when a group had fewer than k non-null
+  * candidates. Every graft call site computes `cos` from non-null
+  * vectors, so the results are identical there; SQL users of
+  * `graft_topk` who need null-tail rows must `coalesce` the score
+  * before aggregating.
   *
   * The buffer serializes as (count, (score, id)*) — ≤ 4 + 16k bytes —
   * between the partial and final stages, exactly like the built-in
@@ -72,11 +83,14 @@ case class BoundedTopK(
 
   /** Max-heap whose HEAD is the WORST kept pair (lowest score, then
     * highest id), so a better candidate evicts it in O(log k).
+    * Signed zeros compare EQUAL (SQL ordering) via the key
+    * canonicalization below; the stored double keeps its input bits.
     */
   private val worstFirst: Ordering[(Double, Long)] =
     new Ordering[(Double, Long)] {
+      @inline private def key(d: Double): Double = if (d == 0.0) 0.0 else d
       def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1) // lower score = worse
+        val c = java.lang.Double.compare(key(b._1), key(a._1)) // lower score = worse
         if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher id = worse
       }
     }
@@ -95,8 +109,9 @@ case class BoundedTopK(
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
-      val d = s.asInstanceOf[Double]
-      insert(buf, (if (d == 0.0) 0.0 else d, i.asInstanceOf[Long]))
+      // Original bits stored (−0.0 preserved in output); the comparator
+      // canonicalizes its own keys.
+      insert(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
     }
     buf
   }

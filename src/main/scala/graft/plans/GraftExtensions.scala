@@ -27,6 +27,31 @@ import graft.functions.{DotProduct, Md5Fast}
   *    from `spark.sql(...)`, not just the Scala DSL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Extracts a compile-time integer argument (the `k` of a sketch) with
+    * a real error message instead of an IndexOutOfBounds/MatchError.
+    * Accepts any FOLDABLE integral expression (`10`, `10L`, `5 + 5`,
+    * `CAST(16 AS INT)`), not just a bare literal — sketch sizes must be
+    * known at plan time because they size the aggregation buffer.
+    */
+  private def intArg(fn: String, args: Seq[Expression], idx: Int): Int = {
+    val e = args(idx)
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument ${idx + 1} must be a constant integer, got $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${idx + 1} must be a constant integer, got $other")
+    }
+  }
+
+  private def requireArity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects exactly $n arguments, got ${args.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FastHashRule)
     ext.injectOptimizerRule(_ => RangeBinRule)
@@ -49,12 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[graft.functions.KmvSketch].getName, "graft_kmv"),
       (args: Seq[Expression]) => {
-        val k = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_kmv: k must be an integer literal, got $other")
-        }
-        graft.functions.KmvSketch(args.head, k).toAggregateExpression()
+        requireArity("graft_kmv", args, 2)
+        graft.functions.KmvSketch(args.head, intArg("graft_kmv", args, 1))
+          .toAggregateExpression()
       }))
     // Misra–Gries heavy-hitter candidates (TypedImperativeAggregate):
     //   SELECT graft_heavy_hitters(term, 512) FROM toks
@@ -62,12 +84,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "graft_heavy_hitters"),
       (args: Seq[Expression]) => {
-        val k = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_heavy_hitters: k must be an integer literal, got $other")
-        }
-        graft.functions.MisraGries(args.head, k).toAggregateExpression()
+        requireArity("graft_heavy_hitters", args, 2)
+        graft.functions.MisraGries(args.head, intArg("graft_heavy_hitters", args, 1))
+          .toAggregateExpression()
       }))
     // Bounded top-k pairs (TypedImperativeAggregate — map-side emits ≤k
     // rows per group × partition; the shuffle-thin ANN ranking path):
@@ -76,12 +95,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "graft_topk"),
       (args: Seq[Expression]) => {
-        val k = args(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_topk: k must be an integer literal, got $other")
-        }
-        graft.functions.BoundedTopK(args(0), args(1), k).toAggregateExpression()
+        requireArity("graft_topk", args, 3)
+        graft.functions.BoundedTopK(args(0), args(1), intArg("graft_topk", args, 2))
+          .toAggregateExpression()
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),

@@ -93,6 +93,48 @@ class BoundedTopKSpec extends AnyFunSuite {
     assert(collectSorted(viaAgg(df)) === collectSorted(viaWindow(df)))
   }
 
+  test("-0.0 ranks equal to 0.0 but keeps its input bit pattern in the output") {
+    // The comparator canonicalizes signed zeros on its KEY only (SQL
+    // ordering: -0.0 == 0.0, tie broken by id) — the emitted cos must be
+    // the input's exact bits, like the window it replaced (round-8
+    // ADVICE). -0.0 is reachable: dot of an all-zero query against
+    // negative components folds to -0.0.
+    val df = Seq((0L, 1L, -0.0), (0L, 2L, 0.0), (0L, 3L, -0.0))
+      .toDF("query_id", "neighbor_id", "cos")
+    val got = viaAgg(df).select($"neighbor_id", $"cos")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L), "zero-tie must break by id")
+    val bits = got.map(r => java.lang.Double.doubleToRawLongBits(r._2))
+    val neg = java.lang.Double.doubleToRawLongBits(-0.0)
+    val pos = java.lang.Double.doubleToRawLongBits(0.0)
+    assert(bits.toSeq === Seq(neg, pos, neg), "input bit patterns must survive")
+  }
+
+  test("SQL graft_topk rejects wrong arity and non-constant k with clear errors") {
+    pairs(2, 5).createOrReplaceTempView("topk_err_in")
+    val arity = intercept[Exception] {
+      spark.sql("SELECT graft_topk(cos, neighbor_id) FROM topk_err_in").collect()
+    }
+    assert(arity.getMessage.contains("exactly 3"), arity.getMessage)
+    val nonConst = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_topk(cos, neighbor_id, CAST(neighbor_id AS INT)) FROM topk_err_in")
+        .collect()
+    }
+    assert(nonConst.getMessage.contains("constant integer"), nonConst.getMessage)
+  }
+
+  test("SQL graft_topk accepts any foldable integral k (long literal, expression)") {
+    pairs(3, 20).createOrReplaceTempView("topk_fold_in")
+    Seq("10L", "5 + 5", "CAST(10 AS INT)").foreach { kExpr =>
+      val got = spark.sql(
+        s"""SELECT query_id, size(graft_topk(cos, neighbor_id, $kExpr)) AS n
+           |FROM topk_fold_in GROUP BY query_id""".stripMargin)
+        .as[(Long, Int)].collect()
+      assert(got.length === 3 && got.forall(_._2 === 10), s"k = $kExpr")
+    }
+  }
+
   test("registered as a SQL function via GraftExtensions") {
     pairs(5, 30).createOrReplaceTempView("topk_in")
     val got = spark.sql(

@@ -60,10 +60,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("__salt"), "salt columns missing from plan\n" + p)
     assert(p.toLowerCase.contains("explode"),
       "candidate-side salt explode missing\n" + p)
-    // topK() always plans a row_number window for the final ranking, so
-    // a generic Window assertion is vacuous — pin the cap by its own
-    // column name (`__bp`, the per-bucket rank that `.filter(__bp <=
-    // maxBucket)` consumes): it appears iff maxBucket is set.
+    // Since round 8, topK() plans the graft_topk aggregate (no window
+    // at all), so the ONLY window in this plan is the bucket cap — pin
+    // it by its own column name (`__bp`, the per-bucket rank that
+    // `.filter(__bp <= maxBucket)` consumes): it appears iff maxBucket
+    // is set.
     assert(p.contains("__bp"), "bucket-cap (__bp rank) missing from plan\n" + p)
   }
 
