@@ -344,6 +344,11 @@ object Similarity {
     // share lineage through `subs`, and same-name references across a
     // self-join can silently resolve to one attribute (Spark warns
     // "trivially true predicate").
+    // Rank audit (round 9): the final row_number window here stays a
+    // window, NOT graft_topk — the ranked stream is post-aggregation
+    // (query_id, neighbor_id, appx) ≈ 40 B/row, and `appx` is a
+    // DECIMAL(20,9) whose exact ordering the oracle replays; routing it
+    // through BoundedTopK's double heap could reorder near-tie sums.
     val tab = subs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("sub"), col("subemb"))
       .join(broadcast(books), Seq("sub"))
@@ -515,6 +520,16 @@ object Similarity {
     //     side exploded ×salts. Pure partitioning change — the result
     //     set is IDENTICAL, so the oracle needs no mirror.
     // The cap window sorts only bucket populations (rows), never pairs.
+    // Wide-payload note (round-9 rank audit): this IS a data-sized rank
+    // whose rows carry the ~550 B embedding — but the embedding must
+    // reach bucket-keyed partitioning anyway for the candidate join and
+    // the exact-cosine verify that follow, so the window rides the
+    // join's own exchange and adds only a per-bucket sort of ~N/2^bits
+    // rows (≈64 with the derived-bits rule). A narrow-rank-rejoin here
+    // would ADD an exchange to avoid a sort the join already pays for —
+    // the inverse of the assignCells economics (its ranked stream was
+    // N×nCells, nCells× the data, with no downstream need for the
+    // payload at that key).
     val cand0 = if (maxBucket == Int.MaxValue) b else {
       val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
       b.withColumn("__bp", row_number().over(w))

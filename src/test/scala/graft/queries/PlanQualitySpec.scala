@@ -68,6 +68,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("__bp"), "bucket-cap (__bp rank) missing from plan\n" + p)
   }
 
+  test("q_nearest_centroid: window ranks a pruned stream, not the embeddings") {
+    // Round-9 rank audit's load-bearing fact: columns used only to
+    // COMPUTE a window's sort key are pruned out of the Window's child
+    // by Catalyst, so the per-partition sort never buffers them. Here
+    // the score is a dot over two 64-dim arrays — the ranked stream
+    // must carry neither.
+    val qe = SparkEntry.queries("q_nearest_centroid")(spark, dir).queryExecution
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, qe.optimizedPlan.toString)
+    windows.foreach { w =>
+      val childCols = w.child.output.map(_.name).toSet
+      assert(!childCols.exists(c => c.contains("emb")),
+        s"embedding survived under the window: $childCols")
+    }
+  }
+
   test("headline aggregation runs inside WholeStageCodegen") {
     // AQE finalizes the physical plan lazily — execute, then inspect.
     val df = SparkEntry.queries("q1_agg")(spark, dir)
