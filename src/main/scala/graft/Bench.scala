@@ -135,6 +135,10 @@ object Bench {
         .config("spark.sql.adaptive.enabled", "false")
         // See SparkEngine: ICU case-mapping static init can stall minutes.
         .config("spark.sql.icu.caseMappings.enabled", "false")
+        // See SparkEngine: default-128 ObjectHashAggregate fallback sorts
+        // the whole stream under any real per-group top-k key domain.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          "65536")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s.sparkContext.addSparkListener(cpuListener)

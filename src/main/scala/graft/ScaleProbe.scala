@@ -33,6 +33,10 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // See SparkEngine: default-128 ObjectHashAggregate fallback sorts
+      // the whole stream under any real per-group top-k key domain.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val e = Similarity.withNorm(Tables(spark, dir, "embeddings"))

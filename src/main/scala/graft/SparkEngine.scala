@@ -87,6 +87,22 @@ object SparkEngine {
       // peer/s", measured). Default TTL is 60s; 5s bounds the
       // post-churn blind window at one RPC per writing executor per 5s.
       .config("spark.storage.cachedPeersTtl", "5000")
+      // TypedImperativeAggregate partials (graft_topk, graft_kmv,
+      // graft_heavy_hitters) run in ObjectHashAggregateExec, which falls
+      // back to SORT-BASED aggregation after `fallbackThreshold` DISTINCT
+      // KEYS per partition — default 128. Any per-group top-k over a
+      // real key domain blows past 128 keys, and the fallback then sorts
+      // the ENTIRE input stream per partition: at the ×1000 corpus that
+      // silently re-introduced the exact candidate-stream sort
+      // BoundedTopK exists to avoid (q_embed_ivf: 239 GB spill, the
+      // N×nCells assignment stream × ~85 B/row — measured round 9; with
+      // this ceiling the same query spills ~0). 65536 bounds the partial
+      // map at keys × bufferSize per task: ~33 MB for top-k's ≤16k+ε-byte
+      // heaps — safe at any heap this engine targets. Callers grouping a
+      // WIDE sketch (graft_kmv: ~33 KB/buffer) by a high-cardinality key
+      // should lower it; every catalog KMV/MG site groups by ≤10 keys.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",

@@ -48,6 +48,10 @@ object Verify {
         (sys.env.get("SPARK_GRAFT_AQE").exists(_ == "1")).toString)
       // See SparkEngine: ICU case-mapping static init can stall minutes.
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // See SparkEngine: default-128 ObjectHashAggregate fallback sorts
+      // the whole stream under any real per-group top-k key domain.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

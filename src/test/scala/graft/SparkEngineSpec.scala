@@ -30,4 +30,14 @@ class SparkEngineSpec extends AnyFunSuite {
     val expected = SparkEngine.broadcastThreshold().toString
     assert(s.conf.get("spark.sql.autoBroadcastJoinThreshold") === expected)
   }
+
+  test("ObjectHashAggregate fallback ceiling is raised past real key domains") {
+    // Spark's default 128-key fallback turns every per-group top-k
+    // partial into a full-stream sort (q_embed_ivf at ×1000: 239 GB
+    // spill — the exact sort BoundedTopK exists to avoid). The engine
+    // pins 65536: top-k buffers are ≤16k+ε bytes, so the partial map
+    // stays ≲33 MB/task at the ceiling.
+    assert(TestSpark.spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") === "65536")
+  }
 }
