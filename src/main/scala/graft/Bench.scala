@@ -137,8 +137,9 @@ object Bench {
         .config("spark.sql.icu.caseMappings.enabled", "false")
         // See SparkEngine: default-128 ObjectHashAggregate fallback sorts
         // the whole stream under any real per-group top-k key domain.
+        // Env-overridable so memory sweeps can A/B the ceiling.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-          "65536")
+          sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s.sparkContext.addSparkListener(cpuListener)

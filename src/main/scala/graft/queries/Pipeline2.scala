@@ -159,6 +159,13 @@ object Pipeline2 {
     // membership exactly; the emitted cosine derives from the same
     // exact integers.
     "q_doc_sim_cosine" -> { (s, dir) =>
+      // MEMORY FLOOR (measured, BENCH_MEM round 9): the salted pair join
+      // feeding the output-quadratic (a,b) aggregation needs ≥~150 MiB
+      // of execution memory PER TASK at sf1's 87.5M-pair volume (OOMs at
+      // ≤75 MiB/task; passes at 8g×32t and 4g×8t). Partition count does
+      // NOT move it (128→256p identical failure) — the cost is per-task
+      // join/shuffle machinery, so at a fixed heap the knob is executor
+      // CONCURRENCY.
       val tf = termFreq(s, dir)
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       // Adaptive per-term salting (the cosineNearDupPairs move applied

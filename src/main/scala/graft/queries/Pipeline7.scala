@@ -119,6 +119,11 @@ object Pipeline7 {
     // returns 2.5200000000000005 where the lerp returns 2.52. Caught by
     // the ×10-corpus oracle sweep (sf1 p05 of 'error' landed on a tied
     // value with frac = .95); invisible at every gate sf.
+    // COST (measured, round-9 PercentileCostProbe): the builtin stays
+    // ~1.4-2× faster through ×1000 (it partially aggregates a
+    // value→count map, so it never hit the predicted one-task buffering
+    // wall on this value domain); the explicit form is kept for oracle
+    // exactness, and the gap NARROWS with scale (1.96× → 1.37×).
     "q_winsorize" -> { (s, dir) =>
       val ev = t(s, dir, "events")
         .filter(col("value").isNotNull)

@@ -411,9 +411,13 @@ object Pipeline9 {
     // exactly 1 — on a count distribution the p99 brackets are tied
     // almost always, so the builtin is one representation-error frac
     // away from a one-ulp oracle mismatch (the q_winsorize failure
-    // class, caught at the ×10 corpus). Also removes the builtin's
-    // all-values-in-one-task buffering: the histogram agg is a codegen
-    // partial+final, and the interp runs on ≤(distinct counts) rows.
+    // class, caught at the ×10 corpus). COST (measured, round-9
+    // PercentileCostProbe at ×10/×100/×1000): the builtin is ~2-2.7×
+    // faster at every scale — it partially aggregates a value→count
+    // map, not raw rows, so the old "one-task value buffering" claim
+    // only bites on high-cardinality value domains well past 100M rows
+    // per group. The explicit form is kept for ORACLE EXACTNESS, not
+    // speed; the wall cost is seconds on a diagnostic query.
     "q_skew_report" -> { (s, dir) =>
       def prof(df: org.apache.spark.sql.DataFrame, c: String) = {
         val keyed = df.groupBy(col(c)).agg(count(lit(1)).cast("long").as("n"))
