@@ -568,16 +568,25 @@ object Pipeline9 {
       // the table reads as one split; both branches share the one
       // RoundRobin exchange (identical subplan → ReusedExchange).
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-      // Materialize the fanned-out projection ONCE: the single-split scan
-      // + round-robin exchange would otherwise re-run for every consumer
-      // job (count, threshold, sample, value-histogram, and OrderStats'
-      // range-bounds sampling — five executions measured). Narrow rows,
-      // one checkpoint, every downstream pass reads 32-way parallel.
-      val base = t(s, dir, "lineitem")
-        .repartition(nPart)
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"))
-        .ckpt()
+      // Materialize the fanned-out projection ONCE at SMALL inputs: a
+      // gate-SF table reads as one parquet split, so without the
+      // round-robin fan-out + checkpoint, every consumer job (count,
+      // threshold, sample, value-histogram, OrderStats' range-bounds
+      // sampling — five executions measured) re-runs a 1-task scan.
+      // At LARGE inputs the rationale inverts (measured, ×1000 corpus,
+      // round 9): the scan is already wide (hundreds of splits), and
+      // the checkpoint becomes a 601 M-row materialization — 11.4 GB of
+      // spill and most of the query's super-linearity — to save five
+      // cheap parallel columnar scans. The size cut is the parquet
+      // statistics estimate at PLAN time (no extra job), threshold 1 GiB:
+      // gate SFs and sf1 keep the byte-identical checkpointed plan; the
+      // decades above re-scan. Values are identical on both paths.
+      val raw = t(s, dir, "lineitem")
+      val small =
+        raw.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 30)
+      val proj = raw.select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      val base = if (small) proj.repartition(nPart).ckpt() else proj
       val hkMax = 1152921504606846976L // 16^15 = 2^60
       val cnts = base.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("long").as("n"))
