@@ -116,7 +116,7 @@ object Bench {
     // cumulative, so per-query deltas stay correct through a restart.
     val cpuListener = new CpuListener
     def buildSession(): SparkSession = {
-      val s = SparkSession.builder()
+      val b0 = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", shufParts)
         // Heap-aware broadcast ceiling (SparkEngine.broadcastThreshold):
@@ -140,6 +140,15 @@ object Bench {
         // Env-overridable so memory sweeps can A/B the ceiling.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
           sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
+      // Generic conf pass-through (SPARK_GRAFT_CONF="k=v;k=v"), same as
+      // Verify: forced-path scale measurements (quantile-sketch ckpt
+      // bypass) run through the same bench main as every other number.
+      val s = sys.env.get("SPARK_GRAFT_CONF").toSeq
+        .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+        .foldLeft(b0) { (b, kv) =>
+          val Array(k, v) = kv.split("=", 2)
+          b.config(k, v)
+        }
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s.sparkContext.addSparkListener(cpuListener)
@@ -296,6 +305,47 @@ object Bench {
     // lesson: appending them after `queries` displaced the whole times
     // map out of the 2000-char tail.)
     println(s"""{"metric":"total","value":$total,"unit":"sec","cpu":$cpuJson,"run":$runJson,"spill_disk":$spillJson,"shuffle_write":$shufJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"retried":$retriedJson,"queries":$qs,"failed":$failedJson,"complete":${failed.isEmpty},"sf":"$sfDir"}""")
+    // Self-contained ledger (round-9 verdict item 2): the driver stores
+    // only a ~2000-char TAIL of the stdout line — at 341 queries that
+    // kept ~68 per-query times and made cross-round comparison
+    // archaeology. So Bench itself appends every per-query row to
+    // bench_history.jsonl (same row shape tools/bench_history.py
+    // writes), on EVERY full-catalog run including harness-invoked
+    // ones; the round-end snapshot commit then carries the full ledger.
+    // Restricted runs (explicit query args) skip the append unless a
+    // label is given — local iteration must not spam the ledger.
+    // SPARK_GRAFT_BENCH_LABEL overrides the timestamped default;
+    // SPARK_GRAFT_BENCH_LEDGER=0 disables.
+    val ledgerOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEDGER", "1") == "1" &&
+      (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_LABEL"))
+    if (ledgerOn) try {
+      val sfName = new java.io.File(sfDir).getName
+      val stamp = new java.text.SimpleDateFormat("yyyyMMdd'T'HHmm")
+        .format(new java.util.Date())
+      val label = sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL",
+        s"auto-$sfName-$stamp")
+      val ledger = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_LEDGER_PATH", "bench_history.jsonl"))
+      def opt(m: MetricSnap => Double, k: String, q: String): String =
+        cpuOfBest.get(q).map(v => s""","$k":${m(v)}""").getOrElse("")
+      def optB(m: MetricSnap => Long, k: String, q: String): String =
+        cpuOfBest.get(q).filter(v => m(v) > 0)
+          .map(v => s""","$k":${m(v)}""").getOrElse("")
+      val rows = results.collect { case (q, (Some(v), _)) =>
+        s"""{"label":"$label","loadavg_after":$loadAfter,""" +
+          s""""loadavg_before":$loadBefore,"query":"$q","sec":$v""" +
+          opt(_.cpuS, "cpu_s", q) + opt(_.runS, "run_s", q) +
+          optB(_.spillDisk, "spill_disk", q) +
+          optB(_.shufWrite, "shuffle_write", q) + "}\n"
+      }.mkString
+      java.nio.file.Files.writeString(ledger, rows,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      System.err.println(s"[bench] ledger: appended ${results.count(_._2._1.isDefined)} rows as '$label' to $ledger")
+    } catch { case e: Exception =>
+      // The ledger is diagnostics; its failure must never fail a bench.
+      System.err.println(s"[bench] ledger append failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -24,7 +24,7 @@ object Verify {
     // app's classes (target/classes via sbt) on their classpath, and the
     // same replication hygiene the fault probes pinned (a cached-empty
     // peer list silently writes Ckpt's replicated blocks single-copy).
-    val builder =
+    val builder1 =
       if (master.startsWith("local-cluster"))
         builder0
           .config("spark.executor.extraClassPath", sys.props("java.class.path"))
@@ -32,6 +32,16 @@ object Verify {
           .config("spark.storage.replication.proactive", "true")
           .config("spark.storage.cachedPeersTtl", "5000")
       else builder0
+    // Generic conf pass-through (SPARK_GRAFT_CONF="k=v;k=v") so
+    // forced-path gate runs — e.g. the quantile-sketch checkpoint
+    // bypass (spark.graft.quantileSketch.ckptMaxBytes=0) — go through
+    // THIS main, the same entry the driver's oracle compare uses.
+    val builder = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(builder1) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
     val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -577,15 +577,25 @@ object Pipeline9 {
       // round 9): the scan is already wide (hundreds of splits), and
       // the checkpoint becomes a 601 M-row materialization — 11.4 GB of
       // spill and most of the query's super-linearity — to save five
-      // cheap parallel columnar scans. The size cut is the parquet
-      // statistics estimate at PLAN time (no extra job), threshold 1 GiB:
-      // gate SFs and sf1 keep the byte-identical checkpointed plan; the
-      // decades above re-scan. Values are identical on both paths.
+      // cheap parallel columnar scans. The size cut is the plan-time
+      // statistics estimate (no extra job) of the 4-COLUMN PROJECTION —
+      // the frame the checkpoint actually materializes — not the
+      // full-width scan: Catalyst's size-only visitor scales a Project's
+      // sizeInBytes by output/input row width, so a wide table whose
+      // projected slice is still small keeps the 5×-scan-saving
+      // checkpoint (round-9 advice). Threshold 1 GiB of projected bytes,
+      // overridable via `spark.graft.quantileSketch.ckptMaxBytes`; 0
+      // forces the re-scan path at any SF — the hook the forced-path
+      // spec and the gate's both-paths oracle run use. Gate SFs and sf1
+      // keep the byte-identical checkpointed plan; the decades above
+      // re-scan. Values are identical on both paths (spec-pinned).
       val raw = t(s, dir, "lineitem")
-      val small =
-        raw.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 30)
       val proj = raw.select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"))
+      val ckptMax = s.conf.getOption("spark.graft.quantileSketch.ckptMaxBytes")
+        .map(_.toLong).getOrElse(1L << 30)
+      val small =
+        proj.queryExecution.optimizedPlan.stats.sizeInBytes <= ckptMax
       val base = if (small) proj.repartition(nPart).ckpt() else proj
       val hkMax = 1152921504606846976L // 16^15 = 2^60
       val cnts = base.groupBy(col("l_returnflag"))
