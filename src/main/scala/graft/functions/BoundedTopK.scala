@@ -168,11 +168,24 @@ case class BoundedTopK(
 }
 
 object BoundedTopK {
+  /** Serialized partial-buffer bytes for one group at capacity:
+    * (count, (score, id)*) — the worst-case partial-map sizing input to
+    * [[ObjectAggGuard]].
+    */
+  def bufferBytes(k: Int): Long = 4L + 16L * k
+
   /** `df.groupBy(g).agg(BoundedTopK.topk($"cos", $"neighbor_id", 10))` →
     * array<struct<cos, neighbor_id>> of the k best, best first.
+    *
+    * Plan-time guarded ([[ObjectAggGuard.requireBudget]]): warns once on
+    * a session still at the default 128-key ObjectHashAggregate fallback
+    * (the silent whole-stream sort), errors when threshold × 16k bytes
+    * exceeds the per-task partial-map budget.
     */
-  def topk(score: Column, id: Column, k: Int): Column =
+  def topk(score: Column, id: Column, k: Int): Column = {
+    ObjectAggGuard.requireBudget("graft_topk", bufferBytes(k))
     Bridge.column(
       BoundedTopK(Bridge.expression(score), Bridge.expression(id), k)
         .toAggregateExpression())
+  }
 }

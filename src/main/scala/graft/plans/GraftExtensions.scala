@@ -38,11 +38,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val e = args(idx)
     if (!e.foldable) throw new IllegalArgumentException(
       s"$fn: argument ${idx + 1} must be a constant integer, got $e")
-    e.eval() match {
+    // eval() of a foldable can still surprise: CAST(NULL AS INT) folds to
+    // null, and under ANSI an eval-time-throwing constant (1/0) would
+    // surface a raw ArithmeticException — both get the function's own
+    // error message instead (round-9 advice).
+    val v = try e.eval() catch {
+      case ex: Exception => throw new IllegalArgumentException(
+        s"$fn: argument ${idx + 1} failed to evaluate to a constant " +
+          s"integer: ${ex.getMessage}", ex)
+    }
+    v match {
       case i: Int => i
       case l: Long if l.isValidInt => l.toInt
       case s: Short => s.toInt
       case b: Byte => b.toInt
+      case null => throw new IllegalArgumentException(
+        s"$fn: argument ${idx + 1} must be a non-null constant integer")
       case other => throw new IllegalArgumentException(
         s"$fn: argument ${idx + 1} must be a constant integer, got $other")
     }
@@ -75,8 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.KmvSketch].getName, "graft_kmv"),
       (args: Seq[Expression]) => {
         requireArity("graft_kmv", args, 2)
-        graft.functions.KmvSketch(args.head, intArg("graft_kmv", args, 1))
-          .toAggregateExpression()
+        val k = intArg("graft_kmv", args, 1)
+        // ~8 bytes/hash: wide buffer, few-group call sites → warn-only.
+        graft.functions.ObjectAggGuard.warnWide("graft_kmv", 4L + 8L * k)
+        graft.functions.KmvSketch(args.head, k).toAggregateExpression()
       }))
     // Misra–Gries heavy-hitter candidates (TypedImperativeAggregate):
     //   SELECT graft_heavy_hitters(term, 512) FROM toks
@@ -85,18 +98,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "graft_heavy_hitters"),
       (args: Seq[Expression]) => {
         requireArity("graft_heavy_hitters", args, 2)
-        graft.functions.MisraGries(args.head, intArg("graft_heavy_hitters", args, 1))
-          .toAggregateExpression()
+        val k = intArg("graft_heavy_hitters", args, 1)
+        // ~12 bytes + term text per entry; 64 is a stated working
+        // estimate for typical term lengths (warn-only sizing input).
+        graft.functions.ObjectAggGuard.warnWide("graft_heavy_hitters", 64L * k)
+        graft.functions.MisraGries(args.head, k).toAggregateExpression()
       }))
     // Bounded top-k pairs (TypedImperativeAggregate — map-side emits ≤k
     // rows per group × partition; the shuffle-thin ANN ranking path):
     //   SELECT qid, graft_topk(cos, nid, 10) FROM pairs GROUP BY qid
     ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
-      new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "graft_topk"),
+      new ExpressionInfo(
+        classOf[graft.functions.BoundedTopK].getName, null, "graft_topk",
+        // Usage doc (shown by DESCRIBE FUNCTION): names the fallback conf
+        // an external session MUST raise — graft-built sessions pin 65536,
+        // but a bare session installing only these extensions keeps
+        // Spark's 128-key default, under which ObjectHashAggregate
+        // silently sorts the whole stream per partition (the construction
+        //-time warning below says the same at plan time).
+        "graft_topk(score, id, k) - bounded per-group top-k (score DOUBLE" +
+          " desc, id BIGINT asc) with map-side partial aggregation; emits" +
+          " array<struct<cos,neighbor_id>>. IMPORTANT: set " +
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold=65536" +
+          " (Spark's 128 default silently degrades to a per-partition" +
+          " whole-stream sort past 128 distinct groups).", null),
       (args: Seq[Expression]) => {
         requireArity("graft_topk", args, 3)
-        graft.functions.BoundedTopK(args(0), args(1), intArg("graft_topk", args, 2))
+        val k = intArg("graft_topk", args, 2)
+        graft.functions.ObjectAggGuard.requireBudget(
+          "graft_topk", graft.functions.BoundedTopK.bufferBytes(k))
+        graft.functions.BoundedTopK(args(0), args(1), k)
           .toAggregateExpression()
       }))
     ext.injectFunction((

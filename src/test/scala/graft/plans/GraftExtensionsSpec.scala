@@ -45,6 +45,75 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_topk warns once on a default-128-fallback session and not on 65536") {
+    withExtSession { spark =>
+      import graft.functions.ObjectAggGuard
+      spark.range(10).selectExpr("id % 2 AS g", "CAST(id AS DOUBLE) AS s", "id AS n")
+        .createOrReplaceTempView("topk_in")
+      def capturedErr(body: => Unit): String = {
+        val baos = new java.io.ByteArrayOutputStream()
+        val old = System.err
+        System.setErr(new java.io.PrintStream(baos, true))
+        try body finally System.setErr(old)
+        baos.toString
+      }
+      // External-session shape: extensions installed, fallback left at
+      // Spark's default → construction must warn (once) naming the conf.
+      ObjectAggGuard.resetForTest()
+      spark.conf.set(ObjectAggGuard.FallbackConf, "128")
+      val warned = capturedErr {
+        spark.sql("SELECT g, graft_topk(s, n, 3) FROM topk_in GROUP BY g").collect()
+        // second construction: the warning must NOT repeat
+        spark.sql("SELECT g, graft_topk(s, n, 3) FROM topk_in GROUP BY g").collect()
+      }
+      assert(warned.contains(ObjectAggGuard.FallbackConf), warned)
+      assert(warned.contains("65536"), warned)
+      assert("WARNING".r.findAllIn(warned).size == 1, s"warning repeated:\n$warned")
+      // graft-session shape: ceiling pinned → silent.
+      ObjectAggGuard.resetForTest()
+      spark.conf.set(ObjectAggGuard.FallbackConf, "65536")
+      val quiet = capturedErr {
+        spark.sql("SELECT g, graft_topk(s, n, 3) FROM topk_in GROUP BY g").collect()
+      }
+      assert(!quiet.contains("WARNING"), quiet)
+    }
+  }
+
+  test("graft_topk rejects a k whose partial map could exceed the budget") {
+    withExtSession { spark =>
+      import graft.functions.ObjectAggGuard
+      ObjectAggGuard.resetForTest()
+      spark.conf.set(ObjectAggGuard.FallbackConf, "65536")
+      spark.range(4).selectExpr("id % 2 AS g", "CAST(id AS DOUBLE) AS s", "id AS n")
+        .createOrReplaceTempView("topk_big")
+      // 65536 × (4 + 16·4096) bytes ≈ 4.3 GB > the 1 GiB default budget.
+      val e = intercept[Exception] {
+        spark.sql("SELECT g, graft_topk(s, n, 4096) FROM topk_big GROUP BY g").collect()
+      }
+      assert(e.getMessage.contains("partial aggregation map"), e.getMessage)
+      // Budget conf raises the ceiling: same k passes at 8 GiB.
+      spark.conf.set(ObjectAggGuard.MaxBytesConf, (8L << 30).toString)
+      try {
+        val r = spark.sql(
+          "SELECT g, graft_topk(s, n, 4096) AS t FROM topk_big GROUP BY g").collect()
+        assert(r.length == 2)
+      } finally spark.conf.unset(ObjectAggGuard.MaxBytesConf)
+    }
+  }
+
+  test("intArg: foldable null and eval-time failures get the function's error") {
+    withExtSession { spark =>
+      val eNull = intercept[Exception] {
+        spark.sql("SELECT graft_kmv('a', CAST(NULL AS INT))").collect()
+      }
+      assert(eNull.getMessage.contains("non-null constant integer"), eNull.getMessage)
+      val eThrow = intercept[Exception] {
+        spark.sql("SELECT graft_heavy_hitters('a', CAST(1 AS INT) DIV 0)").collect()
+      }
+      assert(eThrow.getMessage.contains("graft_heavy_hitters"), eThrow.getMessage)
+    }
+  }
+
   test("graft_bloom_agg / graft_might_contain: SQL bloom build and probe") {
     withExtSession { spark =>
       spark.range(1000).createOrReplaceTempView("corpus_ids")
