@@ -178,12 +178,18 @@ object Pipeline2 {
       // the gate's corpora (df² ≪ 4e6) keep s = 1, i.e. the gated plan
       // is byte-identical. Salts shape PARTITIONING only: `a` carries
       // one salt, `b` explodes to all of its term's salts, so every
-      // (a < b, term) contribution meets exactly once.
+      // (a < b, term) contribution meets exactly once. The per-task
+      // pair budget is conf-tunable (`spark.graft.docSim.taskPairBudget`,
+      // default 4e6): a smaller budget = finer salt = each task owns a
+      // smaller slice of a hot term's pair block — the round-10 memory
+      // experiment's knob; any value yields identical rows.
+      val pairBudget = s.conf.getOption("spark.graft.docSim.taskPairBudget")
+        .map(_.toDouble).getOrElse(4e6)
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(n))
         .filter(col("df") * 10 <= col("n_docs"))
         .withColumn("__s", least(lit(1024L), greatest(lit(1L),
-          ceil(col("df").cast("double") * col("df") / lit(4e6))
+          ceil(col("df").cast("double") * col("df") / lit(pairBudget))
             .cast("long"))).cast("int"))
         .select(col("term"), col("__s"))
       // Materialized once: `rare` feeds four branches below (both join

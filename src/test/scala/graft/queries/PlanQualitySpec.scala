@@ -80,9 +80,16 @@ class PlanQualitySpec extends AnyFunSuite {
     }
     assert(windows.nonEmpty, qe.optimizedPlan.toString)
     windows.foreach { w =>
-      val childCols = w.child.output.map(_.name).toSet
-      assert(!childCols.exists(c => c.contains("emb")),
-        s"embedding survived under the window: $childCols")
+      // Assert on TYPE, not name substrings: what must never sit under
+      // the window's per-partition sort is any array payload (the
+      // 64-dim vectors) — a name check like contains("emb") would also
+      // trip on an unrelated rename (e.g. "member"; round-9 advice).
+      val arrayCols = w.child.output.collect {
+        case a if a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+          a.name
+      }
+      assert(arrayCols.isEmpty,
+        s"array payload survived under the window: $arrayCols")
     }
   }
 

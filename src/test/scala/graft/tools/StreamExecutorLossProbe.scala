@@ -5,7 +5,7 @@ import java.nio.file.attribute.FileTime
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.TaskContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved, SparkListenerTaskEnd, SparkListenerTaskStart}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
@@ -28,15 +28,19 @@ import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
   * files, same mtimes → same micro-batch boundaries in both runs);
   * `maxFilesPerTrigger=1` → 8 micro-batches; attempt-0 tasks of the
   * stateful stage sleep 1.5 s so every batch has a wide in-flight
-  * window; a watcher thread waits for 2 COMMITTED batches (via
-  * StreamingQueryListener progress) and then kills the lowest-pid
-  * executor — landing the kill inside batch 3's uncommitted window.
+  * window; a watcher thread waits for the checkpoint COMMIT LOG entry
+  * of batch 2 (commits/2 — progress events can precede their commit),
+  * then for the first observed TASK START of batch 3, and kills the
+  * lowest-pid executor at that instant — inside batch 3's uncommitted
+  * window by construction, not by a tuned sleep.
   * Output read back through the FileStreamSink manifest (uncommitted
   * attempt files excluded), fingerprinted order-independently.
   *
   * Pass = fingerprints equal AND ≥1 executor actually removed AND ≥1
-  * task failure observed (otherwise the kill landed between batches
-  * and the run proves nothing — rerun).
+  * task failure observed. A kill that misses the window (no removal or
+  * no failure) proves nothing and is retried automatically up to 3
+  * attempts; a fingerprint MISMATCH under a landed kill is terminal on
+  * the spot (never retried away).
   *
   * Run: SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
   *   sbt "Test/runMain graft.tools.StreamExecutorLossProbe [sfDir]"
@@ -97,11 +101,14 @@ object StreamExecutorLossProbe {
 
     val removed = new AtomicInteger(0)
     val taskFails = new AtomicInteger(0)
+    val taskStarts = new AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =
         removed.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.reason != org.apache.spark.Success) taskFails.incrementAndGet()
+      override def onTaskStart(t: SparkListenerTaskStart): Unit =
+        taskStarts.incrementAndGet()
     })
 
     val work = Files.createTempDirectory("stream_exec_loss_probe")
@@ -154,23 +161,42 @@ object StreamExecutorLossProbe {
           it
         }
       @volatile var killedPid = -1L
+      val ckpt = work.resolve(s"ckpt_$tag")
       val killer =
         if (killAfterBatches < 0) None
         else Some(new Thread(() => {
-          while (committed.get() < killAfterBatches) Thread.sleep(200)
-          Thread.sleep(1000) // land inside the NEXT batch's window
-          val ps = executorPids()
-          if (ps.nonEmpty) {
-            val victim = ps.minBy(_.pid())
-            killedPid = victim.pid()
-            victim.destroyForcibly()
+          // Key the kill off the COMMIT LOG, not progress events: a
+          // progress event can arrive before its batch's commit file
+          // lands, and a fixed post-progress sleep can drift past the
+          // next batch entirely (round-9 advice). The reliable recipe:
+          // wait for commits/<N> to exist, then wait for the FIRST task
+          // of batch N+1 to actually start (global task-start counter),
+          // then kill immediately — the stateful stage's attempt-0
+          // 1.5 s sleep holds the batch's uncommitted window open.
+          val commits = ckpt.resolve("commits")
+          def committedBatch(n: Int): Boolean =
+            Files.exists(commits.resolve(n.toString))
+          while (!committedBatch(killAfterBatches)) Thread.sleep(50)
+          val startsAtCommit = taskStarts.get()
+          while (taskStarts.get() == startsAtCommit &&
+              !committedBatch(killAfterBatches + 1)) Thread.sleep(20)
+          if (committedBatch(killAfterBatches + 1)) {
+            println(s"[stream-exec-loss] $tag: batch ${killAfterBatches + 1} " +
+              "committed before any of its tasks were observed — no kill")
+          } else {
+            val ps = executorPids()
+            if (ps.nonEmpty) {
+              val victim = ps.minBy(_.pid())
+              killedPid = victim.pid()
+              victim.destroyForcibly()
+            }
           }
         }))
       killer.foreach(_.start())
       val q = sess.writeStream
         .format("parquet")
         .option("path", out)
-        .option("checkpointLocation", work.resolve(s"ckpt_$tag").toString)
+        .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -193,14 +219,36 @@ object StreamExecutorLossProbe {
 
     val (cleanOut, _, _) = run("clean", killAfterBatches = -1)
     val clean = fp(cleanOut)
-    val (hurtOut, nRemoved, nFails) = run("killed", killAfterBatches = 2)
-    val hurt = fp(hurtOut)
-    val ok = clean == hurt && nRemoved >= 1 && nFails >= 1
+    // Auto-retry the killed run while the kill misses its in-flight
+    // window (no executor removal / no task failure observed): a miss
+    // proves nothing either way, so it must not consume the verdict —
+    // only a fingerprint comparison under a LANDED kill counts. A
+    // fingerprint MISMATCH is terminal immediately (never retried away).
+    var attempt = 0
+    var nRemoved = 0
+    var nFails = 0
+    var hurt = clean
+    var landed = false
+    while (attempt < 3 && !landed) {
+      attempt += 1
+      val (o, r, f) = run(s"killed$attempt", killAfterBatches = 2)
+      nRemoved = r; nFails = f; hurt = fp(o)
+      landed = r >= 1 && f >= 1
+      if (!landed)
+        println(s"[stream-exec-loss] attempt $attempt missed the in-flight " +
+          s"window (removed=$r fails=$f) — retrying")
+      else if (hurt != clean) {
+        println(s"[stream-exec-loss] MISMATCH on attempt $attempt: " +
+          s"clean=$clean killed=$hurt")
+        spark.stop()
+        sys.exit(1)
+      }
+    }
+    val ok = clean == hurt && landed
     println(s"[stream-exec-loss] clean=$clean killed=$hurt " +
-      s"execRemoved=$nRemoved taskFailures=$nFails " +
+      s"execRemoved=$nRemoved taskFailures=$nFails attempts=$attempt " +
       (if (ok) "OK"
-       else if (clean == hurt) "INCONCLUSIVE (kill missed the in-flight window — rerun)"
-       else "MISMATCH"))
+       else "INCONCLUSIVE (kill missed the in-flight window in all attempts)"))
     spark.stop()
     if (!ok) sys.exit(1)
   }
