@@ -135,6 +135,9 @@ object Bench {
         .config("spark.sql.adaptive.enabled", "false")
         // See SparkEngine: ICU case-mapping static init can stall minutes.
         .config("spark.sql.icu.caseMappings.enabled", "false")
+        // See SparkEngine: compressed DISK_ONLY checkpoints are 7.4×
+        // smaller AND faster to re-read (graph edge frames).
+        .config("spark.rdd.compress", "true")
         // See SparkEngine: default-128 ObjectHashAggregate fallback sorts
         // the whole stream under any real per-group top-k key domain.
         // Env-overridable so memory sweeps can A/B the ceiling.

@@ -58,6 +58,9 @@ object Verify {
         (sys.env.get("SPARK_GRAFT_AQE").exists(_ == "1")).toString)
       // See SparkEngine: ICU case-mapping static init can stall minutes.
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // See SparkEngine: compressed DISK_ONLY checkpoints are 7.4×
+      // smaller AND faster to re-read (graph edge frames).
+      .config("spark.rdd.compress", "true")
       // See SparkEngine: default-128 ObjectHashAggregate fallback sorts
       // the whole stream under any real per-group top-k key domain.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
