@@ -66,6 +66,25 @@ object SparkEngine {
       // cheaper than the disk IO it saves. Storage-only: values and
       // plans are unchanged (full catalog re-oracled after the flip).
       .config("spark.rdd.compress", "true")
+      // Broadcast children are built on a driver thread with a 300 s
+      // default deadline — tuned for "small dim table", not "small
+      // RESULT of a big computation". Queries broadcast 1-row aggregates
+      // whose subplans scan real data (q_modularity's edge count hit the
+      // 300 s wall at the ×1000 corpus); the queries now keep such
+      // children cheap by construction, and this headroom keeps the next
+      // decade's marginal case a slow plan instead of a dead one.
+      .config("spark.sql.broadcastTimeout", "1800")
+      // ContextCleaner frees shuffle files only after the driver GC
+      // collects their handles; its fallback periodic GC defaults to
+      // 30 MINUTES — longer than most queries, so a 24 GiB driver heap
+      // under no allocation pressure lets every finished stage's
+      // shuffle files pile up on disk for the query's whole lifetime
+      // (measured round 10: q_pagerank ×1000 accumulated its dedup
+      // exchange + three 20 GB iteration shuffles and exhausted a
+      // 58 GB scratch disk). 2 minutes bounds the garbage window;
+      // paired with per-iteration lineage truncation at the call sites
+      // (q_pagerank), peak scratch is one live iteration, not the sum.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       // TIMESTAMP(NANOS) parquet columns (the `events` table) surface as
       // raw long instead of erroring. Pinned at build time so the flag
       // never flips mid-session; Tables.events keeps a lazy set as a

@@ -61,6 +61,12 @@ object Verify {
       // See SparkEngine: compressed DISK_ONLY checkpoints are 7.4×
       // smaller AND faster to re-read (graph edge frames).
       .config("spark.rdd.compress", "true")
+      // See SparkEngine: headroom for broadcasts whose 1-row child is
+      // the result of a real computation.
+      .config("spark.sql.broadcastTimeout", "1800")
+      // See SparkEngine: 30-min default periodic GC lets finished
+      // stages' shuffle files pile up for a whole big-decade query.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       // See SparkEngine: default-128 ObjectHashAggregate fallback sorts
       // the whole stream under any real per-group top-k key domain.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",

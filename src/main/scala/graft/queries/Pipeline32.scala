@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.Ckpt.CkptOps
 import graft.operators.{Dedup, OrderStats, Similarity}
 import Qs._
 
@@ -111,12 +112,22 @@ object Pipeline32 {
           Seq("src"))
         .join(brands.select(col("p_partkey").as("dst"), col("p_brand").as("cd")),
           Seq("dst"))
-      val total = tagged.agg(count(lit(1)).cast("long").as("e_all"))
+      // ONE pass over the tagged edge stream: the community frame is
+      // ≤ #brands rows and checkpointed, and the global edge count
+      // derives from it (Σ per-community degree_sum ≡ count(*) — same
+      // value, zero extra scan). The previous shape computed `total`
+      // as a SECOND full-edge aggregation INSIDE the broadcast thread,
+      // which both doubled the scan and hit spark.sql.broadcastTimeout
+      // (default 300 s) at the ×1000 corpus, where one edge pass alone
+      // runs minutes — a broadcast's child must be cheap-to-compute,
+      // not just small. (Round-10 ×1000 finding.)
       val byComm = tagged.groupBy(col("cs").as("community"))
         .agg(count(lit(1)).cast("long").as("degree_sum"),
           countDistinct(col("src")).cast("long").as("n_nodes"),
           sum(when(col("cs") === col("cd"), 1L).otherwise(0L))
             .cast("long").as("intra_edges"))
+        .ckpt()
+      val total = byComm.agg(sum(col("degree_sum")).cast("long").as("e_all"))
       val terms = byComm.crossJoin(broadcast(total))
         .withColumn("contribution",
           (col("intra_edges").cast("double") / col("e_all").cast("double") -

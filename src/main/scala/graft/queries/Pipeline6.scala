@@ -243,13 +243,29 @@ object Pipeline6 {
           (e, e.groupBy(col("src")).agg(max(col("d")).as("d")).ckpt())
         } finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       var pr = deg.select(col("src").as("node"), lit(1.0).as("pr"))
+      // Each round's rank frame is CHECKPOINTED (node-sized, cheap):
+      // without the truncation, round i+1's lineage keeps round i's
+      // contribution shuffle (≈20 GB at ×1000) referenced until the
+      // query ends, so the per-round shuffles ACCUMULATE on disk —
+      // measured round 10 at the ×1000 corpus: edge ckpt + dedup
+      // exchange + three live iteration shuffles exhausted a 58 GB
+      // scratch disk twice. With per-round truncation (and the session
+      // periodic-GC cleaner, see SparkEngine), round i's shuffle files
+      // become garbage the moment round i+1's ckpt materializes — peak
+      // scratch is ONE iteration's shuffle, not all of them. Same
+      // AQE-off bracket as the edge ckpt so the hash(node) layout
+      // survives into the next round's shuffle_hash join.
       for (_ <- 1 to 3) {
-        pr = ew.join(pr.hint("shuffle_hash"), ew("src") === pr("node"))
+        val next = ew.join(pr.hint("shuffle_hash"), ew("src") === pr("node"))
           .select(col("dst"),
             (col("pr") / col("d")).cast(DecimalType(16, 10)).as("c"))
           .groupBy(col("dst"))
           .agg((lit(0.15) + lit(0.85) * sum(col("c")).cast("double")).as("pr"))
           .select(col("dst").as("node"), col("pr"))
+        val aqeIter = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try pr = next.ckpt()
+        finally s.conf.set("spark.sql.adaptive.enabled", aqeIter)
       }
       // Top-30 nodes via bounded TakeOrdered + sequential rank — no
       // single-partition window over the full node set.
