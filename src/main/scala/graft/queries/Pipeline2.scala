@@ -159,13 +159,16 @@ object Pipeline2 {
     // membership exactly; the emitted cosine derives from the same
     // exact integers.
     "q_doc_sim_cosine" -> { (s, dir) =>
-      // MEMORY FLOOR (measured, BENCH_MEM round 9): the salted pair join
-      // feeding the output-quadratic (a,b) aggregation needs ≥~150 MiB
-      // of execution memory PER TASK at sf1's 87.5M-pair volume (OOMs at
-      // ≤75 MiB/task; passes at 8g×32t and 4g×8t). Partition count does
-      // NOT move it (128→256p identical failure) — the cost is per-task
-      // join/shuffle machinery, so at a fixed heap the knob is executor
-      // CONCURRENCY.
+      // MEMORY FLOOR (measured, BENCH_MEM rounds 9-10): the salted pair
+      // join feeding the output-quadratic (a,b) aggregation needs
+      // ≥~150 MiB of execution memory PER TASK at sf1's 87.5M-pair
+      // volume (OOMs at ≤75 MiB/task; passes at 8g×32t and 4g×8t).
+      // Partition count does NOT move it (128→256p identical failure,
+      // r9) and neither does SALT granularity (budgets 4e6/1e6/2.5e5
+      // all OOM identically at 4g×32t, r10 — the b side explodes to
+      // ALL salts, so each (term,salt) bucket still buffers the term's
+      // full df rows; salt splits a-side ownership, not per-task
+      // machinery). At a fixed heap the knob is executor CONCURRENCY.
       val tf = termFreq(s, dir)
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       // Adaptive per-term salting (the cosineNearDupPairs move applied

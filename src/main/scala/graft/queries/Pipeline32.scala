@@ -104,14 +104,30 @@ object Pipeline32 {
     // edges. How much more intra-brand co-purchasing than a random
     // degree-preserving rewiring would produce.
     "q_modularity" -> { (s, dir) =>
-      val e = Pipeline12.coEdges(t(s, dir, "lineitem"))
+      // Brands are attached BEFORE the pair explosion (round-10 ×1000
+      // finding): tagging the DEDUPED edge set by joining on src and
+      // then dst re-shuffles the data-sized pair stream twice more — at
+      // the ×1000 corpus the three pair-stream exchanges (dedup + two
+      // brand joins, ~25 GB each) all live in one job's lineage, cannot
+      // be GC'd mid-job, and exhausted the scratch disk. Tagging the
+      // (order, part) rows first costs one narrow lineitem-sized join;
+      // the pair rows then carry the two 8-char brand strings and the
+      // only pair-sized exchange left is the DEDUP itself. cs/cd ride
+      // the dedup as max() — each is a function of src/dst, so the
+      // per-group value is unique and max() is exact, not a choice.
       val brands = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"))
-      val tagged = e
-        .join(brands.select(col("p_partkey").as("src"), col("p_brand").as("cs")),
-          Seq("src"))
-        .join(brands.select(col("p_partkey").as("dst"), col("p_brand").as("cd")),
-          Seq("dst"))
+        .select(col("p_partkey").as("pk"), col("p_brand"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .join(brands, Seq("pk"))
+      val tagged = li
+        .groupBy(col("ok"))
+        .agg(collect_set(struct(col("pk"), col("p_brand"))).as("pbs"))
+        .select(explode(col("pbs")).as("a"), col("pbs"))
+        .select(col("a"), explode(col("pbs")).as("b"))
+        .filter(col("a.pk") =!= col("b.pk"))
+        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .agg(max(col("a.p_brand")).as("cs"), max(col("b.p_brand")).as("cd"))
       // ONE pass over the tagged edge stream: the community frame is
       // ≤ #brands rows and checkpointed, and the global edge count
       // derives from it (Σ per-community degree_sum ≡ count(*) — same
