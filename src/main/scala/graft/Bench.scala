@@ -47,6 +47,18 @@ import org.apache.spark.sql.SparkSession
   * above the core count = contended machine, distrust the tail).
   */
 object Bench {
+  /** Minimal JSON string escaper for builder/env-controlled fields
+    * (ledger label, sf path): quote, backslash, and control chars — a
+    * SPARK_GRAFT_BENCH_LABEL containing a quote previously wrote a
+    * malformed bench_history.jsonl line (round-10 advice).
+    */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** /proc/loadavg first field; -1 when unreadable (non-Linux). */
   private def loadAvg1m(): Double =
     try {
@@ -152,12 +164,9 @@ object Bench {
       // Generic conf pass-through (SPARK_GRAFT_CONF="k=v;k=v"), same as
       // Verify: forced-path scale measurements (quantile-sketch ckpt
       // bypass) run through the same bench main as every other number.
-      val s = sys.env.get("SPARK_GRAFT_CONF").toSeq
-        .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
-        .foldLeft(b0) { (b, kv) =>
-          val Array(k, v) = kv.split("=", 2)
-          b.config(k, v)
-        }
+      // Applied last — overrides of pinned keys win; malformed entries
+      // fail loudly (SparkEngine.applyConfPassThrough).
+      val s = SparkEngine.applyConfPassThrough(b0)
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s.sparkContext.addSparkListener(cpuListener)
@@ -341,7 +350,7 @@ object Bench {
         cpuOfBest.get(q).filter(v => m(v) > 0)
           .map(v => s""","$k":${m(v)}""").getOrElse("")
       val rows = results.collect { case (q, (Some(v), _)) =>
-        s"""{"label":"$label","loadavg_after":$loadAfter,""" +
+        s"""{"label":${jstr(label)},"loadavg_after":$loadAfter,""" +
           s""""loadavg_before":$loadBefore,"query":"$q","sec":$v""" +
           opt(_.cpuS, "cpu_s", q) + opt(_.runS, "run_s", q) +
           optB(_.spillDisk, "spill_disk", q) +
@@ -354,6 +363,23 @@ object Bench {
     } catch { case e: Exception =>
       // The ledger is diagnostics; its failure must never fail a bench.
       System.err.println(s"[bench] ledger append failed: ${e.getMessage}")
+    }
+    // Driver-parsable COMPACT line, printed LAST (round-10 verdict item
+    // 6): the harness stores only a ~2000-char stdout tail, which the
+    // full 341-query times map (~10 KB) can never fit — so BENCH_rN.json
+    // kept recording "parsed": null. This closing line is a complete
+    // JSON object well inside the tail window: run verdict, wall-time
+    // distribution, and the slowest queries. Full per-query times live
+    // in the big line above and in bench_history.jsonl.
+    {
+      val times = results.collect { case (q, (Some(v), _)) => (q, v) }
+        .toSeq.sortBy(_._2)
+      val med = if (times.isEmpty) 0.0 else times(times.size / 2)._2
+      val p95 =
+        if (times.isEmpty) 0.0 else times(((times.size - 1) * 95) / 100)._2
+      val slowest = times.takeRight(12).reverse
+        .map { case (q, v) => s"${jstr(q)}:$v" }.mkString("{", ",", "}")
+      println(s"""BENCH_JSON {"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},"complete":${failed.isEmpty},"n_ok":${times.size},"n_failed":${failed.size},"median_s":$med,"p95_s":$p95,"slowest":$slowest}""")
     }
     spark.stop()
   }

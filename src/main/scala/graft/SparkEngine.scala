@@ -30,6 +30,28 @@ object SparkEngine {
       maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Long =
     math.min(10L << 20, maxHeapBytes / 512)
 
+  /** Generic conf pass-through (`SPARK_GRAFT_CONF="k=v;k=v"`) for the
+    * Verify/Bench mains, so forced-path gate runs (e.g. the
+    * quantile-sketch checkpoint bypass) go through the same entry
+    * points as every other number. Apply LAST, after every hardcoded
+    * `.config`, so an override of a pinned key (rdd.compress, AQE,
+    * the ObjectHashAggregate fallback ceiling, …) actually wins —
+    * Verify used to fold it in first and silently lose those
+    * overrides (round-10 advice). A malformed entry (no '=') fails
+    * loudly naming the token instead of a bare MatchError.
+    */
+  def applyConfPassThrough(b: SparkSession.Builder,
+      raw: Option[String] = sys.env.get("SPARK_GRAFT_CONF")): SparkSession.Builder =
+    raw.toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(b) { (bb, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.trim.nonEmpty => bb.config(k.trim, v)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+        }
+      }
+
   /** Pinned conf mirrors SURVEY.md §7 phase A: UTC, no UI, shuffle
     * partitions sized for local cores rather than the 200 default.
     */

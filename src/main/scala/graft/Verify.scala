@@ -32,17 +32,7 @@ object Verify {
           .config("spark.storage.replication.proactive", "true")
           .config("spark.storage.cachedPeersTtl", "5000")
       else builder0
-    // Generic conf pass-through (SPARK_GRAFT_CONF="k=v;k=v") so
-    // forced-path gate runs — e.g. the quantile-sketch checkpoint
-    // bypass (spark.graft.quantileSketch.ckptMaxBytes=0) — go through
-    // THIS main, the same entry the driver's oracle compare uses.
-    val builder = sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
-      .foldLeft(builder1) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2)
-        b.config(k, v)
-      }
-    val spark = builder
+    val builderPinned = builder1
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Correctness dump only: AQE's stage-materialization wait showed a
@@ -71,6 +61,10 @@ object Verify {
       // the whole stream under any real per-group top-k key domain.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
+    // SPARK_GRAFT_CONF pass-through LAST so forced-path overrides of
+    // any pinned key above actually apply (same order as Bench; see
+    // SparkEngine.applyConfPassThrough).
+    val spark = SparkEngine.applyConfPassThrough(builderPinned)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

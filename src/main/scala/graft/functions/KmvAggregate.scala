@@ -107,7 +107,13 @@ case class KmvSketch(
 }
 
 object KmvSketch {
-  /** DataFrame-side helper: `df.agg(KmvSketch.kmv($"key", 4096))`. */
-  def kmv(c: Column, k: Int): Column =
+  /** DataFrame-side helper: `df.agg(KmvSketch.kmv($"key", 4096))`.
+    * Same wide-buffer sizing warning as the SQL twin (`graft_kmv` in
+    * [[graft.plans.GraftExtensions]]): ~8 bytes/hash, warn-only —
+    * catalog call sites group by few keys.
+    */
+  def kmv(c: Column, k: Int): Column = {
+    ObjectAggGuard.warnWide("graft_kmv", 4L + 8L * k)
     Bridge.column(KmvSketch(Bridge.expression(c), k).toAggregateExpression())
+  }
 }

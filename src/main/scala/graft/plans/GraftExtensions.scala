@@ -122,7 +122,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           " array<struct<cos,neighbor_id>>. IMPORTANT: set " +
           "spark.sql.objectHashAggregate.sortBased.fallbackThreshold=65536" +
           " (Spark's 128 default silently degrades to a per-partition" +
-          " whole-stream sort past 128 distinct groups).", null),
+          // 5th ctor arg is `arguments`, which Spark asserts non-null
+          // (only JVM -ea off lets null through) and string-concats into
+          // DESCRIBE FUNCTION EXTENDED — empty string, never null.
+          " whole-stream sort past 128 distinct groups).", ""),
       (args: Seq[Expression]) => {
         requireArity("graft_topk", args, 3)
         val k = intArg("graft_topk", args, 2)

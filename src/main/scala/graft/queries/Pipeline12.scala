@@ -52,17 +52,71 @@ object Pipeline12 {
     words.select(col("w"), size(col("toks")).cast("long").as("n_tokens"))
   }
 
+  /** Degree cap on the per-order pair explosion, shared by every
+    * co-purchase edge builder. The explosion is quadratic per order:
+    * TPC-H orders have ≤7 lines, but a pathological 10k-line order
+    * would emit 1e8 pairs for zero graph information. Every consumer's
+    * oracle SQL mirrors the cap (ROW_NUMBER ≤ [[degreeCap]] over
+    * sorted distinct items per order — [[keptPartsSql]]), so query and
+    * oracle agree even on data that actually trips it.
+    */
+  private[queries] val degreeCap = 1000
+
+  /** Per-order capped distinct item sets: `(ok, items)` where `items`
+    * is the order's `collect_set` of `item`, truncated to the
+    * [[degreeCap]] smallest under `sort_array`'s total order when the
+    * set is larger. `collect_set`, not `collect_list`: duplicate items
+    * within an order multiply the quadratic explosion for zero
+    * information (pairs are deduped downstream anyway). The `item`
+    * column must sort deterministically so the oracle can mirror the
+    * truncation with ROW_NUMBER over the same ORDER BY.
+    */
+  private[queries] def cappedOrderSets(rows: org.apache.spark.sql.DataFrame,
+      ok: org.apache.spark.sql.Column,
+      item: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    rows.groupBy(ok.as("ok")).agg(collect_set(item).as("items"))
+      .withColumn("items", when(size(col("items")) <= degreeCap, col("items"))
+        .otherwise(slice(sort_array(col("items")), 1, degreeCap)))
+
   /** Distinct co-purchase edges (src ≠ dst, both directions), built by
-    * per-order grouping — the q_bfs_hops / q_pagerank graph.
+    * per-order grouping with the [[degreeCap]] guard — the q_bfs_hops /
+    * q_pagerank graph. The exploded pair stream is repartitioned by
+    * `src` BEFORE the dedup: hash(src) satisfies the (src, dst)
+    * clustering, so the dedup aggregation plans with no further
+    * exchange and the output stays hash(src)-partitioned — one exchange
+    * serves dedup, any degree window, and downstream src-keyed joins.
     */
   private[queries] def coEdges(li: org.apache.spark.sql.DataFrame) =
-    li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy(col("ok")).agg(collect_list(col("pk")).as("pks"))
-      .select(explode(col("pks")).as("src"), col("pks"))
-      .select(col("src"), explode(col("pks")).as("dst"))
+    cappedOrderSets(
+        li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+        col("ok"), col("pk"))
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
       .filter(col("src") =!= col("dst"))
+      .repartition(col("src"))
       .groupBy(col("src"), col("dst")).agg(lit(1).as("one"))
       .select(col("src"), col("dst"))
+
+  /** Oracle-side mirror of [[cappedOrderSets]] over lineitem parts:
+    * `ranked`/`kept` CTE bodies selecting each order's [[degreeCap]]
+    * smallest distinct partkeys. Splice as `WITH $keptPartsSql, …`;
+    * `where` pre-filters lineitem (e.g. " WHERE l_partkey < 300").
+    */
+  private[queries] def keptPartsSql(where: String = ""): String =
+    s"""ranked AS (SELECT l_orderkey, l_partkey,
+       |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+       |      AS r
+       |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem$where)),
+       |kept AS (SELECT l_orderkey, l_partkey FROM ranked WHERE r <= $degreeCap)""".stripMargin
+
+  /** Oracle-side mirror of [[coEdges]]: `kept` plus the distinct
+    * directed edge list `e(src, dst)`.
+    */
+  private[queries] val cappedEdgeSql: String =
+    keptPartsSql() + ",\n" +
+      """e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |    FROM kept a JOIN kept b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // Per-document token counts under the learned BPE: whitespace words
@@ -152,16 +206,12 @@ object Pipeline12 {
          |    AS chars_per_token
          |FROM agg ORDER BY doc_id""".stripMargin,
     "q_graph_degrees" ->
-      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |    FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      s"""WITH $cappedEdgeSql,
         |d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY src)
         |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY degree ORDER BY degree""".stripMargin,
     "q_common_neighbors" ->
-      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |    FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      s"""WITH $cappedEdgeSql,
         |cn AS (SELECT x.src AS a, y.dst AS b,
         |    CAST(COUNT(*) AS BIGINT) AS common_neighbors
         |  FROM e x JOIN e y ON x.dst = y.src

@@ -251,12 +251,17 @@ object Pipeline23 {
     // and the report both read the materialized frame) — fixed job
     // count, no data-dependent convergence loop.
     "q_kcore_peel" -> { (s, dir) =>
-      val items = t(s, dir, "lineitem")
-        .filter(col("l_partkey") < 300)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
-      val b = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("v"))
-      var edges = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
+      // Shared degree-capped per-order part sets (Pipeline12), exploded
+      // within the capped group — no lineitem×lineitem self-join. The
+      // l_partkey < 300 cut keeps the subgraph small; the cap is the
+      // same skew guard every co-purchase builder now carries.
+      var edges = Pipeline12.cappedOrderSets(
+          t(s, dir, "lineitem").filter(col("l_partkey") < 300)
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+          col("ok"), col("pk"))
+        .select(explode(col("items")).as("u"), col("items"))
+        .select(col("u"), explode(col("items")).as("v"))
+        .filter(col("u") < col("v"))
         .select(col("u"), col("v")).distinct().ckpt()
       val rounds = (1 to 3).map { r =>
         val und = edges.select(col("u").as("node"))
@@ -418,10 +423,9 @@ object Pipeline23 {
         |FROM inter WHERE inter * 8 >= (ma + mb) * 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_kcore_peel" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        |    WHERE l_partkey < 300),
+      s"""WITH ${Pipeline12.keptPartsSql(" WHERE l_partkey < 300")},
         |e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |  FROM kept a JOIN kept b ON a.l_orderkey = b.l_orderkey
         |    AND a.l_partkey < b.l_partkey),
         |k1 AS (SELECT node FROM (
         |    SELECT node, COUNT(*) AS deg FROM (

@@ -271,9 +271,7 @@ object Pipeline28 {
         |UNION ALL SELECT 48, n_shingles, cd48, n_shingles - cd48 FROM a
         |ORDER BY bits""".stripMargin,
     "q_graph_assortativity" ->
-      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |    FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      s"""WITH ${Pipeline12.cappedEdgeSql},
         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
         |  FROM e GROUP BY src),
         |xy AS (SELECT dx.degree AS dxv, dy.degree AS dyv

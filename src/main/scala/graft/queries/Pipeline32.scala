@@ -120,11 +120,14 @@ object Pipeline32 {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .join(brands, Seq("pk"))
-      val tagged = li
-        .groupBy(col("ok"))
-        .agg(collect_set(struct(col("pk"), col("p_brand"))).as("pbs"))
-        .select(explode(col("pbs")).as("a"), col("pbs"))
-        .select(col("a"), explode(col("pbs")).as("b"))
+      // Shared degree cap (Pipeline12.cappedOrderSets): the struct sorts
+      // by (pk, p_brand) — pk leads, and pk → brand is functional, so
+      // the truncation keeps the 1000 smallest partkeys per order; the
+      // oracle mirrors it with ROW_NUMBER ordered the same way.
+      val tagged = Pipeline12.cappedOrderSets(li, col("ok"),
+          struct(col("pk"), col("p_brand")))
+        .select(explode(col("items")).as("a"), col("items"))
+        .select(col("a"), explode(col("items")).as("b"))
         .filter(col("a.pk") =!= col("b.pk"))
         .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
         .agg(max(col("a.p_brand")).as("cs"), max(col("b.p_brand")).as("cd"))
@@ -308,12 +311,18 @@ object Pipeline32 {
         |      * CAST(n_pairs - tie_y AS HUGEINT) AS DOUBLE)) AS tau_b
         |FROM c""".stripMargin,
     "q_modularity" ->
-      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |    FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-        |tg AS (SELECT e.src, e.dst, ps.p_brand AS cs, pd.p_brand AS cd
-        |  FROM e JOIN part ps ON ps.p_partkey = e.src
-        |    JOIN part pd ON pd.p_partkey = e.dst),
+      s"""WITH pb AS (SELECT DISTINCT l.l_orderkey, l.l_partkey, p.p_brand
+        |    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |ranked AS (SELECT l_orderkey, l_partkey, p_brand,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey, p_brand) AS r FROM pb),
+        |kept AS (SELECT l_orderkey, l_partkey, p_brand FROM ranked
+        |  WHERE r <= ${Pipeline12.degreeCap}),
+        |tg AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |    MAX(a.p_brand) AS cs, MAX(b.p_brand) AS cd
+        |  FROM kept a JOIN kept b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS e_all FROM tg),
         |bc AS (SELECT cs AS community,
         |    CAST(COUNT(*) AS BIGINT) AS degree_sum,

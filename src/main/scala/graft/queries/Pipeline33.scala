@@ -280,9 +280,7 @@ object Pipeline33 {
         |FROM terms, rt GROUP BY event_type, n_out, entropy_rate
         |ORDER BY event_type""".stripMargin,
     "q_friendship_paradox" ->
-      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |    FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      s"""WITH ${Pipeline12.cappedEdgeSql},
         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |    CAST(SUM(d) AS BIGINT) AS sd,
@@ -411,9 +409,7 @@ object Pipeline33 {
         |    AS encoding
         |FROM c, gl ORDER BY o_orderpriority""".stripMargin,
     "q_degree_ccdf" ->
-      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |    FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      s"""WITH ${Pipeline12.cappedEdgeSql},
         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
         |grid AS (SELECT CAST(1 << i AS BIGINT) AS t

@@ -193,25 +193,12 @@ object Pipeline6 {
     //    co-partitioned: the ONLY per-iteration exchange is the
     //    contribution aggregation itself — PageRank's floor.
     "q_pagerank" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
-        // collect_set, not collect_list: the pair explosion is quadratic
-        // per order, and duplicate parts within an order multiply it for
-        // zero information (pairs are deduped downstream anyway). A
-        // degree-cap guard for 100x line-count skew — TPC-H orders have
-        // <=7 lines; a pathological 10k-line order would emit 1e8 pairs.
-        // The oracle SQL mirrors the cap (ROW_NUMBER <= 1000 over sorted
-        // distinct parts per order), so query and oracle agree even on
-        // data that actually trips it.
-        .withColumn("pks", when(size(col("pks")) <= 1000, col("pks"))
-          .otherwise(slice(sort_array(col("pks")), 1, 1000)))
-        .select(explode(col("pks")).as("src"), col("pks"))
-        .select(col("src"), explode(col("pks")).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .repartition(col("src"))
-        .groupBy(col("src"), col("dst")).agg(lit(1).as("one"))
-        .select(col("src"), col("dst"))
+      // Edge build: Pipeline12.coEdges — the shared collect_set +
+      // degree-cap builder (oracle mirrors the cap via the shared
+      // ranked/kept CTE). Its hash(src) repartition is what makes this
+      // plan: one exchange serves the (src,dst) dedup, the degree
+      // window below, and every iteration join.
+      val edges = Pipeline12.coEdges(t(s, dir, "lineitem"))
         .withColumn("d", count(lit(1)).over(Window.partitionBy(col("src"))))
       val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
       s.conf.set("spark.sql.adaptive.enabled", "false")
@@ -288,25 +275,9 @@ object Pipeline6 {
     // re-enter at a later hop, and the final min(hop) aggregate picks
     // its true distance (matching the recursive-CTE oracle's UNION).
     "q_bfs_hops" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edgePlan = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
-        // collect_set, not collect_list: the pair explosion is quadratic
-        // per order, and duplicate parts within an order multiply it for
-        // zero information (pairs are deduped downstream anyway). A
-        // degree-cap guard for 100x line-count skew — TPC-H orders have
-        // <=7 lines; a pathological 10k-line order would emit 1e8 pairs.
-        // The oracle SQL mirrors the cap (ROW_NUMBER <= 1000 over sorted
-        // distinct parts per order), so query and oracle agree even on
-        // data that actually trips it.
-        .withColumn("pks", when(size(col("pks")) <= 1000, col("pks"))
-          .otherwise(slice(sort_array(col("pks")), 1, 1000)))
-        .select(explode(col("pks")).as("src"), col("pks"))
-        .select(col("src"), explode(col("pks")).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .repartition(col("src"))
-        .groupBy(col("src"), col("dst")).agg(lit(1).as("one"))
-        .select(col("src"), col("dst"))
+      // Shared capped edge builder (see q_pagerank): hash(src)-
+      // partitioned distinct pairs, degree-capped, oracle-mirrored.
+      val edgePlan = Pipeline12.coEdges(t(s, dir, "lineitem"))
       // AQE off for every checkpoint in the build (edges AND frontier
       // levels): an AQE-planned localCheckpoint forgets its hash layout
       // (UnknownPartitioning), forcing re-shuffles downstream.
@@ -418,14 +389,7 @@ object Pipeline6 {
         |WHERE id >= 1000 AND id < 50000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pagerank" ->
-      """WITH ranked AS (SELECT l_orderkey, l_partkey,
-        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
-        |      AS r
-        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)),
-        |kept AS (SELECT l_orderkey, l_partkey FROM ranked WHERE r <= 1000),
-        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |    FROM kept a JOIN kept b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      s"""WITH ${Pipeline12.cappedEdgeSql},
         |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
         |p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM deg),
         |p1 AS (SELECT e.dst AS node,
@@ -452,14 +416,7 @@ object Pipeline6 {
     // (node, hop) pairs — bounded by 4×|nodes| — while min(hop) at the
     // end selects each node's true distance.
     "q_bfs_hops" ->
-      """WITH RECURSIVE ranked AS (SELECT l_orderkey, l_partkey,
-        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
-        |      AS r
-        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)),
-        |kept AS (SELECT l_orderkey, l_partkey FROM ranked WHERE r <= 1000),
-        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |    FROM kept a JOIN kept b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      s"""WITH RECURSIVE ${Pipeline12.cappedEdgeSql},
         |bfs AS (
         |  SELECT DISTINCT src AS node, 0 AS hop FROM e WHERE src < 100
         |  UNION

@@ -520,11 +520,17 @@ object Pipeline9 {
     // edges shrink geometrically, job count independent of component
     // diameter. The oracle recomputes components via a recursive CTE.
     "q_graph_cc" -> { (s, dir) =>
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("a_id"))
-      val b = items.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("b_id"))
-      val pairs = a.join(b, col("ok") === col("ok_b") && col("a_id") < col("b_id"))
+      // Shared degree-capped per-order part sets (Pipeline12): the pair
+      // stream explodes within each capped group — never a
+      // lineitem×lineitem self-join — and the support count (orders
+      // containing both parts) follows from one aggregation.
+      val pairs = Pipeline12.cappedOrderSets(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+          col("ok"), col("pk"))
+        .select(explode(col("items")).as("a_id"), col("items"))
+        .select(col("a_id"), explode(col("items")).as("b_id"))
+        .filter(col("a_id") < col("b_id"))
         .groupBy(col("a_id"), col("b_id"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 3)
@@ -913,10 +919,10 @@ object Pipeline9 {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_graph_cc" ->
-      """WITH RECURSIVE
-        |items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH RECURSIVE
+        |${Pipeline12.keptPartsSql()},
         |g AS (SELECT a.l_partkey AS a_id, b.l_partkey AS b_id, COUNT(*) AS n
-        |  FROM items a JOIN items b
+        |  FROM kept a JOIN kept b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2),
         |pairs AS (SELECT a_id, b_id FROM g WHERE n >= 3),

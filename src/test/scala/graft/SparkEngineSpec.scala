@@ -40,4 +40,36 @@ class SparkEngineSpec extends AnyFunSuite {
     assert(TestSpark.spark.conf.get(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") === "65536")
   }
+
+  test("SPARK_GRAFT_CONF pass-through: malformed entry fails naming the token") {
+    import org.apache.spark.sql.SparkSession
+    val e = intercept[IllegalArgumentException] {
+      SparkEngine.applyConfPassThrough(SparkSession.builder(), Some("a=b;oops"))
+    }
+    assert(e.getMessage.contains("oops"), e.getMessage)
+    assert(e.getMessage.contains("SPARK_GRAFT_CONF"), e.getMessage)
+    // well-formed entries (incl. '=' in the value) parse fine
+    SparkEngine.applyConfPassThrough(
+      SparkSession.builder(), Some("k1=v1; k2=a=b ;"))
+  }
+
+  test("SPARK_GRAFT_CONF pass-through wins over a previously pinned conf") {
+    // Verify/Bench apply the pass-through AFTER their hardcoded .config
+    // chain; Builder semantics are last-write-wins, so the override must
+    // land in the session conf (Verify used to fold it in FIRST and
+    // silently lose overrides of pinned keys — round-10 advice).
+    val s = TestSpark.spark
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val b = SparkSession.builder().config("spark.graft.test.pin", "pinned")
+      val s2 = SparkEngine.applyConfPassThrough(
+        b, Some("spark.graft.test.pin=overridden")).getOrCreate()
+      assert(s2.conf.get("spark.graft.test.pin") === "overridden")
+    } finally {
+      SparkSession.setActiveSession(s)
+      SparkSession.setDefaultSession(s)
+    }
+  }
 }

@@ -45,23 +45,54 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  /** Captures ObjectAggGuard's WARN-level log output via an in-memory
+    * log4j2 appender on the guard's own logger — the warnings route
+    * through Spark's `Logging` (cluster log aggregation collects the
+    * driver's log4j stream; a bare stderr println vanishes there), so
+    * the spec asserts the LOG channel, not stderr (round-10 verdict).
+    */
+  private def capturedWarnings(body: => Unit): String = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.{LoggerConfig, Property}
+    val loggerName = "graft.functions.ObjectAggGuard"
+    val sb = new StringBuilder
+    val app = new AbstractAppender(
+        "graft-guard-capture", null, null, true, Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        sb.synchronized { sb.append(e.getMessage.getFormattedMessage).append('\n') }
+    }
+    app.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val lc = cfg.getLoggerConfig(loggerName) match {
+      case exact if exact.getName == loggerName => exact
+      case _ =>
+        val fresh = new LoggerConfig(loggerName, Level.WARN, true)
+        cfg.addLogger(loggerName, fresh)
+        fresh
+    }
+    lc.addAppender(app, Level.WARN, null)
+    ctx.updateLoggers()
+    try { body; sb.synchronized(sb.toString) }
+    finally {
+      lc.removeAppender("graft-guard-capture")
+      app.stop()
+      ctx.updateLoggers()
+    }
+  }
+
   test("graft_topk warns once on a default-128-fallback session and not on 65536") {
     withExtSession { spark =>
       import graft.functions.ObjectAggGuard
       spark.range(10).selectExpr("id % 2 AS g", "CAST(id AS DOUBLE) AS s", "id AS n")
         .createOrReplaceTempView("topk_in")
-      def capturedErr(body: => Unit): String = {
-        val baos = new java.io.ByteArrayOutputStream()
-        val old = System.err
-        System.setErr(new java.io.PrintStream(baos, true))
-        try body finally System.setErr(old)
-        baos.toString
-      }
       // External-session shape: extensions installed, fallback left at
       // Spark's default → construction must warn (once) naming the conf.
       ObjectAggGuard.resetForTest()
       spark.conf.set(ObjectAggGuard.FallbackConf, "128")
-      val warned = capturedErr {
+      val warned = capturedWarnings {
         spark.sql("SELECT g, graft_topk(s, n, 3) FROM topk_in GROUP BY g").collect()
         // second construction: the warning must NOT repeat
         spark.sql("SELECT g, graft_topk(s, n, 3) FROM topk_in GROUP BY g").collect()
@@ -72,10 +103,48 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // graft-session shape: ceiling pinned → silent.
       ObjectAggGuard.resetForTest()
       spark.conf.set(ObjectAggGuard.FallbackConf, "65536")
-      val quiet = capturedErr {
+      val quiet = capturedWarnings {
         spark.sql("SELECT g, graft_topk(s, n, 3) FROM topk_in GROUP BY g").collect()
       }
       assert(!quiet.contains("WARNING"), quiet)
+    }
+  }
+
+  test("ObjectAggGuard: malformed conf value fails naming key and value") {
+    withExtSession { spark =>
+      import graft.functions.ObjectAggGuard
+      ObjectAggGuard.resetForTest()
+      // FallbackConf is a REGISTERED Spark int conf — Spark itself
+      // rejects a non-numeric value at .set time. The guard's own
+      // (unregistered) budget conf has no such net, so the guard must
+      // supply it: a clear error naming the key AND the bad value, not
+      // a bare NumberFormatException from inside the guard.
+      spark.conf.set(ObjectAggGuard.MaxBytesConf, "banana")
+      try {
+        val e = intercept[IllegalArgumentException] {
+          spark.sql("SELECT graft_topk(CAST(1.0 AS DOUBLE), 1L, 3)").collect()
+        }
+        assert(e.getMessage.contains(ObjectAggGuard.MaxBytesConf), e.getMessage)
+        assert(e.getMessage.contains("banana"), e.getMessage)
+      } finally spark.conf.unset(ObjectAggGuard.MaxBytesConf)
+    }
+  }
+
+  test("KmvSketch.kmv (Scala API) emits the same wide-buffer warning as SQL") {
+    withExtSession { spark =>
+      import graft.functions.{KmvSketch, ObjectAggGuard}
+      import org.apache.spark.sql.functions.col
+      ObjectAggGuard.resetForTest()
+      // 65536 × (4 + 8·4096) ≈ 2.1 GB > the 1 GiB default budget → the
+      // wide-buffer warning must fire from the Scala helper too (it was
+      // missing there while the SQL twin had it — round-10 verdict).
+      spark.conf.set(ObjectAggGuard.FallbackConf, "65536")
+      val warned = capturedWarnings {
+        spark.range(4).selectExpr("CAST(id AS STRING) AS k")
+          .agg(KmvSketch.kmv(col("k"), 4096)).collect()
+      }
+      assert(warned.contains("graft_kmv"), warned)
+      assert(warned.contains("WARNING"), warned)
     }
   }
 
