@@ -15,13 +15,16 @@ object PlanDump {
       case rest => ("/root/testdata/sf0.001", rest)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CONF pass-through (applied last, same as Bench/Verify)
+    // so plan dumps can flip conf-hooked plan branches (fan-out,
+    // quantile-sketch checkpoint) for before/after captures.
+    val spark = SparkEngine.applyConfPassThrough(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>

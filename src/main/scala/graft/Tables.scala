@@ -10,8 +10,47 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir) else
-      spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Scale-adaptive scan fan-out (round 11; guide §2.2/§6, generalizing
+    * the round-9 q_quantile_sketch checkpoint-size pattern): a SMALL
+    * table reads as one parquet split — our corpora are single-row-group
+    * files, so `spark.sql.files.minPartitionNum` cannot split them — and
+    * then every per-row expression evaluated before the first exchange
+    * (shingling, md5 fingerprints, tokenization, JSON parsing, partial
+    * aggregation) runs in ONE task while the other cores idle. Measured
+    * at sf0.1/local[32]: the MinHash signature build dropped 1.16s →
+    * 0.44s wall from this one round-robin exchange. A LARGE table
+    * already scans as many splits, where the extra exchange would
+    * shuffle the whole corpus for nothing — so the fan-out keys off the
+    * plan-time size estimate and disappears above the threshold
+    * (`spark.graft.scan.fanoutMaxBytes`, default 1 GiB; 0 forces the
+    * pass-through production path at any size, the spec/A-B hook).
+    * Pure partitioning change: filters and column pruning still push
+    * through the Repartition to the scan (verified in the plan), and
+    * every catalog query is shuffle-order-free by construction — the
+    * physical-invariance sweeps (BENCH_INVARIANCE) pin that values
+    * cannot depend on partition layout.
+    *
+    * APPLIED SELECTIVELY, not at the loader: a full-catalog A/B
+    * (ledger `r11-opt-baseline` vs `r11-fanout`) showed the win is
+    * real only where the serial pre-exchange work is HEAVY (md5 over
+    * shingles, variant parse: −0.3 to −1.0s wall each), while cheap
+    * first stages REGRESS — on this box every shuffle-writing or
+    * sorting task carries ~45 ms of fixed CPU, so turning a 1-task
+    * stage into a 32-task stage costs ~1.5 CPU-s and only pays when
+    * the serial stage's compute exceeds that. Call sites are the
+    * measured winners; everything else keeps its serial scan.
+    */
+  def fanOutSmall(spark: SparkSession, df: DataFrame): DataFrame = {
+    val maxBytes = spark.conf.getOption("spark.graft.scan.fanoutMaxBytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    if (maxBytes > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      df.repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    else df
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     * outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy

@@ -97,6 +97,34 @@ object Pipeline12 {
       .groupBy(col("src"), col("dst")).agg(lit(1).as("one"))
       .select(col("src"), col("dst"))
 
+  /** Storage level for the DATA-sized co-purchase edge checkpoint
+    * (round 11, scale-adaptive — guide §1.2/§5). DISK_ONLY is the
+    * memory-independent level the big decades need (r10 measured both
+    * in-memory levels DYING at a 2 GiB heap on the ×10 corpus in block
+    * unroll, before any task could spill), but it costs serde CPU on
+    * every edge read — measured +23% q_pagerank wall at the standard
+    * heap (10.8 → 13.3s at ×10). The level is therefore derived from
+    * the SOURCE table's plan-time size: deserialized edge blocks
+    * measure ≈10× the lineitem parquet bytes (sf0.1: 11.5 MB file →
+    * ~115 MB of MEMORY_AND_DISK edge blocks), and the in-memory level
+    * is safe while that estimate fits in a quarter of the executor
+    * heap — the rule reproduces every r10 data point: gate/24 GiB →
+    * memory (fast path), ×10/24 GiB → memory (the measured 10.8s),
+    * ×10/2 GiB → disk (the measured OOM boundary), ×100+ → disk.
+    * `spark.graft.graph.edgeCkptMemBudget` overrides the budget in
+    * bytes; 0 forces DISK_ONLY everywhere (the prior behavior, and the
+    * memory-sweep hook).
+    */
+  private[queries] def edgeCkptLevel(source: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.storage.StorageLevel = {
+    val s = source.sparkSession
+    val budget = s.conf.getOption("spark.graft.graph.edgeCkptMemBudget")
+      .map(BigInt(_)).getOrElse(BigInt(Runtime.getRuntime.maxMemory) / 4)
+    val est = source.queryExecution.optimizedPlan.stats.sizeInBytes * 10
+    if (est <= budget) org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    else org.apache.spark.storage.StorageLevel.DISK_ONLY
+  }
+
   /** Oracle-side mirror of [[cappedOrderSets]] over lineitem parts:
     * `ranked`/`kept` CTE bodies selecting each order's [[degreeCap]]
     * smallest distinct partkeys. Splice as `WITH $keptPartsSql, …`;

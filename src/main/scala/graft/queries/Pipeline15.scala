@@ -118,8 +118,10 @@ object Pipeline15 {
       // The small parquet reads as ONE split; the 16× explode and per-row
       // hashing after it are embarrassingly parallel, so fan out first —
       // one narrow shuffle of (key, cents) buys 32-way hash throughput.
-      val fanout = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val blk = o.repartition(fanout)
+      // Round 11: size-thresholded (Tables.fanOutSmall) — at production
+      // sizes the scan is already wide and the extra exchange would be
+      // pure overhead.
+      val blk = graft.Tables.fanOutSmall(s, o)
         .select(col("o_orderkey"), col("cents"),
           explode(sequence(lit(0), lit(15))).as("blk"))
         .withColumn("hx", md5f(concat(lit("boot|"),
@@ -170,8 +172,8 @@ object Pipeline15 {
       val dims = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).toDF("j")
       // Same fan-out rationale as q_bootstrap_ci: the 512× (dims×k)
       // expansion below is embarrassingly parallel but the source parquet
-      // is one split.
-      val signed = e.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      // is one split. Size-thresholded since round 11 (no-op at scale).
+      val signed = graft.Tables.fanOutSmall(s, e)
         .select(col("vec_id"), posexplode(col("qd")).as(Seq("pos", "qv")))
         .withColumn("i", col("pos") + 1)
         .crossJoin(broadcast(dims))

@@ -35,8 +35,10 @@ object Pipeline16 {
     // add" curation curve.
     "q_ngram_novelty" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val grams = docs
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      // Size-thresholded fan-out (round 11) replaces the former
+      // unconditional repartition: same gate-scale plan, no full-corpus
+      // shuffle at production sizes.
+      val grams = graft.Tables.fanOutSmall(s, docs)
         .select(col("doc_id"), explode(expr(
           "CASE WHEN size(split(text, ' ')) >= 5 THEN " +
             "transform(sequence(0, size(split(text, ' ')) - 5), " +

@@ -229,7 +229,10 @@ object Pipeline2 {
       // `ws` is materialized as a column first: the lambda expressions
       // below are not common-subexpression-eliminated across projections,
       // so inlining `split` would re-tokenize per signal.
-      val withWs = t(s, dir, "documents")
+      // Fan out the single-split gate-scale scan before the per-row
+      // lambda/regex signal battery (round 11, measured −0.3s wall;
+      // no-op at scale).
+      val withWs = graft.Tables.fanOutSmall(s, t(s, dir, "documents"))
         .withColumn("ws", split(col("text"), " "))
       val bigrams = when(size(col("ws")) >= 2,
         expr("transform(sequence(0, size(ws)-2), " +

@@ -205,8 +205,10 @@ object Pipeline23 {
       // Checkpoint the exploded token set once: five consumers (sizes,
       // df, the ordered prefixes, and both sides of the verification
       // join) would otherwise each re-run the scan + explode + distinct.
-      val toks = t(s, dir, "documents")
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      // Size-thresholded fan-out (round 11) replaces the former
+      // unconditional repartition: same gate-scale plan, no full-corpus
+      // shuffle at production sizes where the scan is already wide.
+      val toks = graft.Tables.fanOutSmall(s, t(s, dir, "documents"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .distinct()
         .ckpt()

@@ -202,7 +202,10 @@ object Pipeline3 {
     // 5-token shingle with any eval doc. Joins on md5(shingle); the
     // (small) eval side is broadcast.
     "q_decontaminate" -> { (s, dir) =>
-      val sh = t(s, dir, "documents").select(
+      // Fan out the single-split gate-scale scan before the 5-gram
+      // explode + md5 (round 11, measured −1.0s wall; no-op at scale).
+      val sh = graft.Tables.fanOutSmall(s, t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))).select(
         col("doc_id"),
         explode(expr(
           "CASE WHEN size(split(text, ' ')) >= 5 THEN " +

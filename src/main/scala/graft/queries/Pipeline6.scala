@@ -198,7 +198,8 @@ object Pipeline6 {
       // ranked/kept CTE). Its hash(src) repartition is what makes this
       // plan: one exchange serves the (src,dst) dedup, the degree
       // window below, and every iteration join.
-      val edges = Pipeline12.coEdges(t(s, dir, "lineitem"))
+      val li = t(s, dir, "lineitem")
+      val edges = Pipeline12.coEdges(li)
         .withColumn("d", count(lit(1)).over(Window.partitionBy(col("src"))))
       val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
       s.conf.set("spark.sql.adaptive.enabled", "false")
@@ -207,9 +208,11 @@ object Pipeline6 {
       // init + the final degree join) and each lazy reference would
       // re-run the 4.5M-edge pass — checkpoint the ~node-sized result
       // once (round 6), same AQE-off bracket so the layout survives.
-      // The edge frame is DATA-sized (~4.5M rows per sf0.1-equivalent),
-      // so its checkpoint goes to DISK_ONLY: both in-memory levels are
-      // heap-proportional to the DATA through the 32-way-concurrent
+      // The edge frame is DATA-sized (~4.5M rows per sf0.1-equivalent);
+      // its checkpoint level is the scale-adaptive
+      // Pipeline12.edgeCkptLevel: DISK_ONLY once the (source-derived)
+      // estimate outgrows a quarter of the heap — both in-memory levels
+      // are heap-proportional to the DATA through the 32-way-concurrent
       // block unroll, which is unmanaged allocation that outruns its
       // own size estimates — measured at a 2 GiB heap on the ×10
       // corpus, MEMORY_AND_DISK dies in UnsafeRow copies and
@@ -219,14 +222,15 @@ object Pipeline6 {
       // shuffle file, and exactly what a 1000-executor run does with
       // its edge partitions; executor memory then serves only
       // execution (sorts/aggs), which degrades by spilling instead of
-      // dying (404 MB spilled, completed, at a 3 GiB heap). Warm-path
-      // cost at the standard 24 GiB heap: +23% wall (10.8→13.3s at
-      // ×10) — serde CPU on the 4 edge reads, the price of being
-      // memory-independent. The node-sized degree frame stays at the
-      // default in-memory level.
+      // dying (404 MB spilled, completed, at a 3 GiB heap). Its warm-
+      // path cost is why it is no longer unconditional: serde CPU on
+      // the 4 edge reads measured +23% wall at the standard 24 GiB
+      // heap (10.8→13.3s at ×10) where the in-memory level is safe.
+      // The node-sized degree frame stays at the default in-memory
+      // level.
       val (ew, deg) =
         try {
-          val e = edges.ckpt(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          val e = edges.ckpt(Pipeline12.edgeCkptLevel(li))
           (e, e.groupBy(col("src")).agg(max(col("d")).as("d")).ckpt())
         } finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       var pr = deg.select(col("src").as("node"), lit(1.0).as("pr"))
@@ -277,7 +281,8 @@ object Pipeline6 {
     "q_bfs_hops" -> { (s, dir) =>
       // Shared capped edge builder (see q_pagerank): hash(src)-
       // partitioned distinct pairs, degree-capped, oracle-mirrored.
-      val edgePlan = Pipeline12.coEdges(t(s, dir, "lineitem"))
+      val liB = t(s, dir, "lineitem")
+      val edgePlan = Pipeline12.coEdges(liB)
       // AQE off for every checkpoint in the build (edges AND frontier
       // levels): an AQE-planned localCheckpoint forgets its hash layout
       // (UnknownPartitioning), forcing re-shuffles downstream.
@@ -285,9 +290,10 @@ object Pipeline6 {
       s.conf.set("spark.sql.adaptive.enabled", "false")
       val levels =
         try {
-          // DISK_ONLY for the data-sized edge frame (see q_pagerank):
-          // frontier levels are seed-bounded and stay in memory.
-          val edges = edgePlan.ckpt(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          // Scale-adaptive level for the data-sized edge frame (see
+          // q_pagerank / Pipeline12.edgeCkptLevel): frontier levels are
+          // seed-bounded and stay in memory.
+          val edges = edgePlan.ckpt(Pipeline12.edgeCkptLevel(liB))
           // Frontier levels carry no visited-set subtraction: a node can
           // re-enter at a later hop and the final min(hop) picks its true
           // distance. Each level is localCheckpoint-ed: level h is then

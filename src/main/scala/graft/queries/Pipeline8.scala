@@ -244,6 +244,10 @@ object Pipeline8 {
             .as("mod_sum"))
         .select(lit(name).as("table_name"), col("n_rows"),
           col("xor_sum"), col("mod_sum"))
+      // No fan-out here (round 11, measured): one md5 per ROW over
+      // narrow columns is ~1 CPU-s serial at gate scale — below the
+      // ~1.4s break-even of a 32-task fan-out on this box — and the
+      // exchange would shuffle the full 7-column stream for nothing.
       val li = t(s, dir, "lineitem").select(rowHash(concat_ws("|",
         col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
@@ -410,7 +414,11 @@ object Pipeline8 {
     // variant encoding, then extract typed paths — no per-row string
     // re-parsing downstream. `schema_of_variant` proves the stored shape.
     "q_variant" -> { (s, dir) =>
-      t(s, dir, "events")
+      // Fan out the single-split gate-scale scan before the variant
+      // parse (round 11): parse_json/schema_of_variant are the query's
+      // whole cost and otherwise run in one task. No-op at scale.
+      graft.Tables.fanOutSmall(s, t(s, dir, "events")
+          .select(col("event_id"), col("props"), col("event_type"), col("value")))
         .select(col("event_id"), parse_json(col("props")).as("v"),
           col("event_type"), col("value"))
         .select(
