@@ -166,7 +166,10 @@ object Bench {
       // bypass) run through the same bench main as every other number.
       // Applied last — overrides of pinned keys win; malformed entries
       // fail loudly (SparkEngine.applyConfPassThrough).
-      val s = SparkEngine.applyConfPassThrough(b0)
+      // Scratch on the fast local medium (SparkEngine.localDir — tmpfs
+      // on this box; SPARK_GRAFT_LOCAL_DIR overrides, REQUIRED for
+      // big-decade corpora whose live scratch outgrows RAM).
+      val s = SparkEngine.applyConfPassThrough(SparkEngine.applyLocalDir(b0))
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s.sparkContext.addSparkListener(cpuListener)

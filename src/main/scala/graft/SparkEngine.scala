@@ -30,6 +30,37 @@ object SparkEngine {
       maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Long =
     math.min(10L << 20, maxHeapBytes / 512)
 
+  /** Shuffle/checkpoint scratch directory (round 11, guide §1.3/§2.1):
+    * on this sandbox the filesystem behind the default `spark.local.dir`
+    * charges every shuffle-file create/write ~50–160 ms of SYSTEM CPU
+    * per task — measured: a 5 000-row `orderBy` over 32 partitions cost
+    * ~3 CPU-s, and pointing local.dir at tmpfs cut shuffle-stage CPU
+    * 65–80 % (q_window_funcs 7.05 → 2.44 s, q_topk_per_group 5.89 →
+    * 1.22 s executor CPU at identical plans). Shuffle files are
+    * transient by construction (ContextCleaner + the 2-min periodic GC
+    * bound the live set; the full-catalog gate writes ~1 GB per pass
+    * against a 126 GB tmpfs), so RAM-backed scratch is the right local
+    * medium — the same call a production deployment makes by putting
+    * local.dir on NVMe instead of network/overlay storage.
+    *
+    * Parameterised for scale: `SPARK_GRAFT_LOCAL_DIR=<path>` overrides
+    * (big-decade corpora MUST point this at real disk — a ×1000 graph
+    * run keeps ~58 GB of scratch live, which does not belong in RAM
+    * next to the corpus page cache); unset picks tmpfs when writable,
+    * else leaves Spark's default.
+    */
+  def localDir(): Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").map(_.trim).filter(_.nonEmpty)
+      .orElse {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) Some("/dev/shm/spark-graft")
+        else None
+      }
+
+  /** `b` with [[localDir]] applied (no-op when None). */
+  def applyLocalDir(b: SparkSession.Builder): SparkSession.Builder =
+    localDir().fold(b)(d => b.config("spark.local.dir", d))
+
   /** Generic conf pass-through (`SPARK_GRAFT_CONF="k=v;k=v"`) for the
     * Verify/Bench mains, so forced-path gate runs (e.g. the
     * quantile-sketch checkpoint bypass) go through the same entry
@@ -56,9 +87,9 @@ object SparkEngine {
     * partitions sized for local cores rather than the 200 default.
     */
   def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
-    val s = SparkSession.builder()
+    val s = applyLocalDir(SparkSession.builder()
       .master(master)
-      .appName("graft")
+      .appName("graft"))
       // Full extension stack by default: FastHashRule (md5 → Md5Fast,
       // the per-row JCA-lookup fix) and AsofStrategy (native as-of
       // planning). Library queries also work without them — the rule is

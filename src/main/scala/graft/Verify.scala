@@ -63,8 +63,11 @@ object Verify {
         "65536")
     // SPARK_GRAFT_CONF pass-through LAST so forced-path overrides of
     // any pinned key above actually apply (same order as Bench; see
-    // SparkEngine.applyConfPassThrough).
-    val spark = SparkEngine.applyConfPassThrough(builderPinned)
+    // SparkEngine.applyConfPassThrough). Scratch on the fast local
+    // medium (SparkEngine.localDir; SPARK_GRAFT_LOCAL_DIR overrides —
+    // REQUIRED for big-decade corpora, see the scaladoc).
+    val spark = SparkEngine.applyConfPassThrough(
+        SparkEngine.applyLocalDir(builderPinned))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

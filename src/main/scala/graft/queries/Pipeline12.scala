@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -125,6 +127,28 @@ object Pipeline12 {
     else org.apache.spark.storage.StorageLevel.DISK_ONLY
   }
 
+  /** [[coEdges]] materialized ONCE via an AQE-off eager checkpoint at
+    * [[edgeCkptLevel]] (round 11). For consumers that reference the
+    * edge list more than once (wedge join sides, degree frames,
+    * adjacency anti-joins): exchange reuse only caches the EXCHANGE —
+    * the (src,dst) dedup aggregate above it re-executes per reference
+    * (~8 CPU-s each at sf0.1, ×3 in q_graph_assortativity /
+    * q_common_neighbors). The AQE-off bracket is the q_pagerank
+    * pattern: an AQE-planned localCheckpoint reports
+    * UnknownPartitioning and every downstream src-keyed join would
+    * re-shuffle the edges. Single-reference consumers (q_graph_degrees,
+    * q_friendship_paradox) must NOT use this — materialization would be
+    * pure overhead there.
+    */
+  private[queries] def ckptEdges(li: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = li.sparkSession
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try coEdges(li).ckpt(edgeCkptLevel(li))
+    finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   /** Oracle-side mirror of [[cappedOrderSets]] over lineitem parts:
     * `ranked`/`kept` CTE bodies selecting each order's [[degreeCap]]
     * smallest distinct partkeys. Splice as `WITH $keptPartsSql, …`;
@@ -180,6 +204,11 @@ object Pipeline12 {
     // 20 non-adjacent pairs by shared-neighbor count. Wedge join over
     // the seeded frontier, adjacency removed by a left-anti equi-join.
     "q_common_neighbors" -> { (s, dir) =>
+      // NOT ckptEdges (round 11, measured): e is referenced three times,
+      // but the seeded side's src<500 filter pushes BELOW the dedup
+      // aggregate into the shared exchange, so one of the three
+      // "re-executions" is nearly free — a materialized checkpoint
+      // forfeits that pushdown and measured +23% CPU at flat wall.
       val e = coEdges(t(s, dir, "lineitem"))
       val wedges = e.as("x").filter(col("x.src") < 500)
         .join(e.as("y"), col("x.dst") === col("y.src") &&

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.Ckpt.CkptOps
 import graft.functions.HashFunctions.{md5fast => md5f}
 import graft.operators.Dedup
 import Qs._
@@ -146,8 +147,13 @@ object Pipeline28 {
     // co-occur with other high-degree parts? Exact long moments, double
     // only in the final ratio.
     "q_graph_assortativity" -> { (s, dir) =>
-      val e = Pipeline12.coEdges(t(s, dir, "lineitem"))
+      // e is consumed by the degree build AND the xy pair stream, and
+      // deg by BOTH join sides: materialize each once (round 11,
+      // Pipeline12.ckptEdges + a node-sized ckpt) instead of re-running
+      // the (src,dst) dedup aggregate per reference.
+      val e = Pipeline12.ckptEdges(t(s, dir, "lineitem"))
       val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("long").as("degree"))
+        .ckpt()
       val xy = e
         .join(deg.select(col("src"), col("degree").as("dx")), Seq("src"))
         .join(deg.select(col("src").as("dst"), col("degree").as("dy")), Seq("dst"))

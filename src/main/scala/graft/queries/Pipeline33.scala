@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt.CkptOps
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -240,8 +242,12 @@ object Pipeline33 {
     // Degree CCDF of the co-purchase graph at power-of-two thresholds:
     // the log-log tail every "is this scale-free" argument starts from.
     "q_degree_ccdf" -> { (s, dir) =>
+      // deg is referenced twice (threshold join + the n_nodes scalar):
+      // one node-sized ckpt saves a full re-run of the edge dedup +
+      // degree aggregation (round 11).
       val deg = Pipeline12.coEdges(t(s, dir, "lineitem"))
         .groupBy(col("src")).agg(count(lit(1)).cast("long").as("d"))
+        .ckpt()
       val n = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
       val grid = s.range(0, 11)
         .select(expr("shiftleft(1L, CAST(id AS INT))").as("t"))
