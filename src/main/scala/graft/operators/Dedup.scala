@@ -112,7 +112,18 @@ object Dedup {
     * oracle parity.
     */
   def jaccardPairs(docs: DataFrame, t10: Int, maxShingleDf: Int): DataFrame = {
-    val shAll = shingles(docs)
+    // Shared-frame materialization (round 11, Tables.ckptShared), but
+    // ONLY on the uncapped path: shAll feeds both self-join sides plus
+    // the size totals, and the distinct aggregate above the shared
+    // shuffle re-executed per reference. Measured at the gate (sf0.1
+    // A/B, ledger r11b-sharedoff/-on): uncapped 2.09→1.80 s wall, while
+    // the DF-capped variant REGRESSED 1.56→2.22 s (+9 CPU-s) — the hot
+    // screen's extra reference is a narrow column-pruned aggregate that
+    // exchange reuse already serves nearly free, and the ckpt trades it
+    // for a full-width barrier + block serde ×4.
+    val shAll =
+      if (maxShingleDf <= 0) graft.Tables.ckptShared(docs, shingles(docs))
+      else shingles(docs)
     val sh =
       if (maxShingleDf <= 0) shAll
       else {
@@ -150,7 +161,9 @@ object Dedup {
     * with the LSH/DF-cap machinery before verification.
     */
   def containmentPairs(docs: DataFrame, t10: Int): DataFrame = {
-    val sh = shingles(docs)
+    // sh feeds both self-join sides and the per-doc totals (×3):
+    // materialize once (round 11, see jaccardPairs).
+    val sh = graft.Tables.ckptShared(docs, shingles(docs))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") =!= col("b.doc_id"))
@@ -185,6 +198,14 @@ object Dedup {
     * [[jaccardPairs]]'s `maxShingleDf`; default off for oracle parity.
     */
   def minhashLshPairs(docs: DataFrame, t10: Int, maxBandDf: Int): DataFrame = {
+    // sh is referenced 4× (signature build, verify sa/sb, size totals),
+    // but materializing it was MEASURED NET-NEGATIVE across the seven
+    // LSH consumers at the gate (sf0.1 A/B, ledger r11b-sharedoff/-on:
+    // wall ratios 0.95–1.28, e.g. q_dedup_capped_band 2.03→2.59 s,
+    // +10 CPU-s): the band join prunes candidates so hard that each
+    // "re-execution" is a narrow column-pruned pass, while the ckpt
+    // pays a full-width barrier + block serde ×4. Left shared-by-
+    // exchange-reuse deliberately.
     val sh = shingles(docs)
     val allBands = minhashSignature(sh, 8).select(
       col("doc_id"),

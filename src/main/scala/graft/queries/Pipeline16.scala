@@ -154,11 +154,15 @@ object Pipeline16 {
     // level): within-order distinct brands, ordered triples via two
     // self-joins on the order key — fan-out bounded by per-order degree.
     "q_freq_triples" -> { (s, dir) =>
-      val items = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-        .distinct()
+      // items feeds all three self-join sides of the triple expansion:
+      // the distinct re-executed per side above the one reused exchange —
+      // materialize once (round 11, Tables.ckptShared).
+      val items = graft.Tables.ckptShared(t(s, dir, "lineitem"),
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct())
       val a = items.select(col("ok"), col("b").as("b1"))
       val b = items.select(col("ok").as("ok2"), col("b").as("b2"))
       val cc = items.select(col("ok").as("ok3"), col("b").as("b3"))

@@ -207,8 +207,13 @@ object Pipeline31 {
       val docs = OrderStats.running(
         t(s, dir, "documents").select(col("doc_id")),
         Seq(col("doc_id")), Some("rn"))
-      val sh = graft.operators.Dedup.shingles(t(s, dir, "documents"))
-        .join(docs, Seq("doc_id"))
+      // sh (shingles ⋈ doc ranks) feeds both the vocabulary-growth and
+      // token-count branches: the shingle explode + distinct + rank join
+      // executed twice (documents scanned 2×) — materialize once
+      // (round 11, Tables.ckptShared).
+      val sh = graft.Tables.ckptShared(t(s, dir, "documents"),
+        graft.operators.Dedup.shingles(t(s, dir, "documents"))
+          .join(docs, Seq("doc_id")))
       val nf = t(s, dir, "documents").agg(count(lit(1)).cast("long").as("n"))
       // 10-row checkpoint grid: a range leaf crossed with a 1-row
       // aggregate — statically bounded, classified so by ExplainAudit

@@ -184,6 +184,13 @@ object Pipeline34 {
     // directional confidences, and lift for the top-50 pairs by lift
     // (min support 3 orders; ranked on the exactly-computed double).
     "q_lift_rules" -> { (s, dir) =>
+      // items is referenced 4× (nOrders, perPart, both pair-join sides)
+      // and filter/schema asymmetry defeats exchange reuse (lineitem
+      // scans 3×), but materializing it was measured FLAT-TO-WORSE at
+      // BOTH decades (sf0.1 AND ×10 A/B, ledger r11b-*: wall 1.02×,
+      // CPU +7% at sf1): the duplicate passes are narrow column-pruned
+      // scans + map-side-combined distincts that cost less than the
+      // checkpoint barrier + block serde ×4. Left shared-by-reuse.
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val nOrders = items.select(col("l_orderkey")).distinct()

@@ -29,7 +29,12 @@ object Pipeline37 {
     // Jaccard thresholds 0.5–0.9. Pair survival and the number of
     // documents touched tell you what each threshold would delete.
     "q_dedup_threshold_curve" -> { (s, dir) =>
-      val verified = Dedup.minhashLshPairs(t(s, dir, "documents"), t10 = 0)
+      // verified feeds both the pair counts and the docs-touched branch:
+      // the entire LSH candidate + verification stack executed twice —
+      // materialize the (small) verified pair frame once (round 11,
+      // Tables.ckptShared).
+      val verified = graft.Tables.ckptShared(t(s, dir, "documents"),
+        Dedup.minhashLshPairs(t(s, dir, "documents"), t10 = 0))
       val grid = s.range(5, 10).select(col("id").cast("long").as("t10"))
       val qual = verified.join(broadcast(grid),
           col("common") * 10 >=

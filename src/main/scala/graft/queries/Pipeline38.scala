@@ -66,7 +66,11 @@ object Pipeline38 {
     // The "how big must the vocab be" planner readout.
     "q_vocab_coverage" -> { (s, dir) =>
       val sh = graft.operators.Dedup.shingles(t(s, dir, "documents"))
-      val cf = sh.groupBy(col("shingle")).agg(count(lit(1)).cast("long").as("c"))
+      // cf feeds both the corpus totals and the top-k ranking: the
+      // per-shingle count re-executed per reference — materialize once
+      // (round 11, Tables.ckptShared).
+      val cf = graft.Tables.ckptShared(t(s, dir, "documents"),
+        sh.groupBy(col("shingle")).agg(count(lit(1)).cast("long").as("c")))
       val tot = cf.agg(sum(col("c")).cast("long").as("total"),
         count(lit(1)).cast("long").as("n_distinct"))
       val ranked = OrderStats.topK(cf, Seq(col("c").desc, col("shingle")),

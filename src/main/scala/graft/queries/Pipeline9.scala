@@ -252,6 +252,10 @@ object Pipeline9 {
     // per-order item degree (order size, a data constant), never N² —
     // the same degree-cap argument as the LSH band caps in Dedup.
     "q_item_cooccur" -> { (s, dir) =>
+      // items' second reference already rides a ReusedExchange (only the
+      // final distinct re-executes); materializing it measured WORSE at
+      // both decades (r11b A/B: 1.08× wall, +8% CPU at ×10) — the ckpt
+      // barrier costs more than one re-run of the final aggregate.
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("p_a"))
