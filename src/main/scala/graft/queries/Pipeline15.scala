@@ -142,19 +142,26 @@ object Pipeline15 {
           sum(col("w4")).cast("long").as("wn4"))
       // Order statistics of the 64 replicate means via bounded
       // TakeOrdered + sequential rank (B is a constant; no window).
+      // Round 11: the old 4-way union referenced perBlk once PER branch
+      // and `means` twice (ci_lo, ci_hi) — only the fan-out exchange was
+      // reused, so the 16×-explode + md5 weight pass re-executed 8 times
+      // (plan audit: 9 parquet scans, 41 executor-CPU-s at sf0.1). The
+      // widening to (rep, m) is now a 4-struct explode (ONE reference)
+      // and both CI endpoints come out of one conditional aggregate over
+      // the 64-row ranked frame: one scan, one hash pass, same values.
       val means = graft.operators.OrderStats.topK(
-        (1 to 4).map(j =>
-          perBlk.select((col("blk") * 4 + (j - 1)).cast("long").as("rep"),
-            (col(s"wc$j").cast("double") / col(s"wn$j").cast("double"))
-              .as("m")))
-        .reduce(_ unionAll _),
+        perBlk.select(explode(array((1 to 4).map(j =>
+            struct((col("blk") * 4 + (j - 1)).cast("long").as("rep"),
+              (col(s"wc$j").cast("double") / col(s"wn$j").cast("double"))
+                .as("m"))): _*)).as("r"))
+          .select(col("r.rep").as("rep"), col("r.m").as("m")),
         Seq(col("m"), col("rep")), 64, "rk")
+      val ci = means
+        .agg(max(when(col("rk") === 4, col("m"))).as("ci_lo"),
+          max(when(col("rk") === 61, col("m"))).as("ci_hi"))
       val full = o.agg(count(lit(1)).cast("long").as("n_orders"),
         (sum(col("cents")).cast("double") / count(lit(1))).as("mean_cents"))
-      full.crossJoin(broadcast(
-          means.filter(col("rk") === 4).select(col("m").as("ci_lo"))))
-        .crossJoin(broadcast(
-          means.filter(col("rk") === 61).select(col("m").as("ci_hi"))))
+      full.crossJoin(broadcast(ci))
         .select(col("n_orders"), col("mean_cents"), col("ci_lo"),
           col("ci_hi"), lit(64L).as("b"))
     },

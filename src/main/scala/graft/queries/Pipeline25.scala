@@ -45,19 +45,25 @@ object Pipeline25 {
     // exact shingle Jaccard and the absolute error — the measurement
     // that justifies (or indicts) the sketch parameters.
     "q_minhash_fidelity" -> { (s, dir) =>
-      val sh = Dedup.shingles(t(s, dir, "documents"))
+      // sh feeds the signature build AND the exact-Jaccard verification
+      // (ha, hb) AND the size totals; cand feeds the signature-match and
+      // common-shingle branches — both re-executed per reference before
+      // round 11 (4 parquet scans of documents). Materialize each once.
+      val sh = graft.Tables.ckptShared(t(s, dir, "documents"),
+        Dedup.shingles(t(s, dir, "documents")))
       val sig = Dedup.minhashSignature(sh).ckpt()
       val bands = (0 until 4).map { b =>
         sig.select(col("doc_id"), lit(b).as("band_idx"),
           md5f(concat(col(s"mh${2 * b + 1}"), col(s"mh${2 * b + 2}")))
             .as("band_val"))
       }.reduce(_ union _)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_val") === col("y.band_val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
+      val cand = graft.Tables.ckptShared(t(s, dir, "documents"),
+        bands.as("x").join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct())
       val withSigs = cand
         .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
         .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
